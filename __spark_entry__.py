@@ -1,38 +1,38 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship pipeline (whitespace tokenize ->
+block-compressed inverted index -> block-max WAND BM25 top-10 -> doc
+metadata join) on sf0.001. `queries()` / `oracle_sql()` expose the
+operator inventory (SURVEY.md §2 + training-data ops) with DuckDB
+oracles; implementations live in pears_lite_spark.contract.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from pears_lite_spark.contract import BM25_QUERY, _docs, _index_for
+    from pears_lite_spark.search.bm25 import search_blocks
+
+    sf_dir = "/root/testdata/sf0.001"
+    postings, stats = _index_for(spark, sf_dir)
+    hits = search_blocks(postings, stats, [BM25_QUERY], k=10)
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    return (hits.join(F.broadcast(docs), "doc_id")
+            .select("doc_id", "score", "rank", "lang", "source")
+            .orderBy("rank"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from pears_lite_spark import contract
+    return contract.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pears_lite_spark import contract
+    return contract.oracle_sql()

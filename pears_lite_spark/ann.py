@@ -1,0 +1,117 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+`embeddings(vec_id:long, embedding:array<float>, label:int)`.
+
+- `brute_topk`: exact cosine top-k — `F.zip_with`/`F.aggregate` dot
+  product in double precision, TakeOrderedAndProject for the top-k. The
+  correctness baseline, DuckDB-oracle-checkable.
+- `lsh_topk`: random-hyperplane LSH (Charikar 2002) scale path: H
+  deterministic hyperplanes (seeded numpy, broadcast as literal arrays)
+  -> sign-bit bucket; probe only buckets within `max_hamming` of the
+  query's bucket, exact re-rank inside. At 100 TB the bucket column is a
+  partition/cluster key so a probe prunes the scan; recall is tested vs
+  brute in pytest.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, functions as F
+
+LSH_SEED = 1234
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_to_query(emb_df: DataFrame, query_vec: list[float],
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    q = [float(x) for x in query_vec]
+    qn = float(np.sqrt(sum(x * x for x in q))) or 1.0
+    qlit = F.array(*[F.lit(x) for x in q])
+    v = _as_double(F.col(vec_col))
+    cos = _dot(v, qlit) / (_norm(v) * F.lit(qn))
+    return emb_df.select(F.col(id_col), cos.alias("cosine"))
+
+
+def brute_topk(emb_df: DataFrame, query_vec: list[float], k: int = 10,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k (ties broken by id asc)."""
+    return (cosine_to_query(emb_df, query_vec, id_col, vec_col)
+            .orderBy(F.desc("cosine"), F.asc(id_col)).limit(k))
+
+
+def hyperplanes(dim: int, n_planes: int = 8,
+                seed: int = LSH_SEED) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def with_lsh_bucket(emb_df: DataFrame, planes: np.ndarray,
+                    vec_col: str = "embedding") -> DataFrame:
+    """Sign-bit bucket id from the fixed hyperplanes (pure column
+    algebra: one dot product per plane, no UDF)."""
+    v = _as_double(F.col(vec_col))
+    bucket = None
+    for i, p in enumerate(planes):
+        plit = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(_dot(v, plit) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return emb_df.withColumn("lsh_bucket", bucket.cast("int"))
+
+
+def lsh_topk(emb_df: DataFrame, query_vec: list[float], k: int = 10,
+             n_planes: int = 8, max_hamming: int = 1,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             planes: np.ndarray | None = None) -> DataFrame:
+    """Approximate top-k: probe buckets within `max_hamming` bit flips
+    of the query bucket, exact cosine re-rank inside."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    if planes is None:
+        planes = hyperplanes(len(q), n_planes)
+    qbucket = 0
+    for i, p in enumerate(planes):
+        if float(p @ q) > 0:
+            qbucket |= 1 << i
+    probe = {qbucket}
+    if max_hamming >= 1:
+        for i in range(len(planes)):
+            probe.add(qbucket ^ (1 << i))
+    if max_hamming >= 2:
+        for i in range(len(planes)):
+            for j in range(i + 1, len(planes)):
+                probe.add(qbucket ^ (1 << i) ^ (1 << j))
+    bucketed = with_lsh_bucket(emb_df, planes, vec_col)
+    cand = bucketed.filter(F.col("lsh_bucket").isin(sorted(probe)))
+    return brute_topk(cand, list(map(float, q)), k, id_col, vec_col)
+
+
+def pairwise_topk_join(emb_df: DataFrame, queries_df: DataFrame,
+                       k: int = 10) -> DataFrame:
+    """Batch k-NN: for every row of queries_df(qid, qvec) return its
+    top-k neighbors — broadcast the (small) query side, window rank.
+    The distributed form of the reference's neighbours op
+    (`/root/reference/app/indexer/neighbours.py:10-33`)."""
+    from pyspark.sql import Window
+    qa = queries_df.select(F.col("qid"), _as_double(F.col("qvec")).alias("qv"))
+    va = emb_df.select(F.col("vec_id"), _as_double(F.col("embedding")).alias("v"))
+    cos = _dot("v", "qv") / (_norm("v") * _norm("qv"))
+    scored = va.crossJoin(F.broadcast(qa)).select(
+        "qid", "vec_id", cos.alias("cosine"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

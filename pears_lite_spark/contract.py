@@ -1,0 +1,530 @@
+"""Driver-contract query implementations + DuckDB oracle SQL.
+
+Each entry pairs a Spark DataFrame implementation (an operator from
+SURVEY.md §2 or a training-data-pipeline op) with an ANSI-SQL oracle
+DuckDB runs on the same parquet tables. Column names/types are aligned
+on both sides; floats that accumulate across rows are rounded to 5-6
+decimals IN BOTH engines so order-of-summation ulps can't flip the
+value hash.
+
+Tokenization here is the whitespace path (SQL-expressible); the SPM /
+HTML-extraction path is exercised by the rows-only entries and pytest.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .functions.extract import LANG_STOPWORDS
+from .functions.textstats import BPE_TOKEN_RE
+
+BM25_QUERY = ["spark", "join", "table", "scan"]
+AND_QUERY = ["window", "vector", "batch"]
+SNIPPET_QUERY = "spark join window"
+PHRASE = ["batch", "stream"]
+COSINE_QUERY = ["spark", "join"]
+
+_TOK_SQL = ("SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+            "FROM documents WHERE text IS NOT NULL")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .index.build import tokenize_whitespace
+    return tokenize_whitespace(_docs(spark, sf_dir)).select("doc_id", "tokens")
+
+
+# ------------------------------------------------------------ index cache
+
+_INDEX_CACHE: dict = {}
+
+
+def _index_for(spark: SparkSession, sf_dir: str):
+    key = (id(spark), sf_dir)
+    if key not in _INDEX_CACHE:
+        from .index.build import build_postings
+        postings, stats = build_postings(_tokens(spark, sf_dir))
+        _INDEX_CACHE[key] = (postings.persist(), stats)
+    return _INDEX_CACHE[key]
+
+
+# ------------------------------------------------------------- the queries
+
+def q_tf_top_terms(spark, sf_dir):
+    """T2/A2: top-20 terms by collection frequency."""
+    tok = _tokens(spark, sf_dir).select(F.explode("tokens").alias("term"))
+    return (tok.groupBy("term").agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("term")).limit(20))
+
+
+def q_term_df(spark, sf_dir):
+    """A2: document frequency per term (top 50)."""
+    tok = _tokens(spark, sf_dir).select(
+        "doc_id", F.explode("tokens").alias("term"))
+    return (tok.distinct().groupBy("term").agg(F.count("*").alias("df"))
+            .orderBy(F.desc("df"), F.asc("term")).limit(50))
+
+
+def q_corpus_stats(spark, sf_dir):
+    """A2: N, avgdl, |vocab| — the broadcast BM25 statistics."""
+    toks = _tokens(spark, sf_dir)
+    tok = toks.select("doc_id", F.explode("tokens").alias("term"))
+    return (tok.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        (F.count("*") / F.countDistinct("doc_id")).alias("avgdl"),
+        F.countDistinct("term").alias("n_terms")))
+
+
+def q_doc_token_counts(spark, sf_dir):
+    from .functions.textstats import token_counts
+    out = token_counts(_docs(spark, sf_dir))
+    return out.select("doc_id", F.col("ws_tokens").cast("long").alias("ws_tokens"),
+                      F.col("bpe_tokens").cast("long").alias("bpe_tokens"))
+
+
+def q_bm25_top10(spark, sf_dir):
+    """C10 exhaustive DataFrame BM25."""
+    from .search.bm25 import bm25_topk
+    out = bm25_topk(_tokens(spark, sf_dir), BM25_QUERY, 10)
+    return out.select("doc_id", F.round("score", 5).alias("score_r"))
+
+
+def q_bm25_wand_top10(spark, sf_dir):
+    """C10 via the block-compressed index + block-max WAND (same oracle
+    as q_bm25_top10 — rank/score identity is the point)."""
+    from .search.bm25 import search_blocks
+    postings, stats = _index_for(spark, sf_dir)
+    out = search_blocks(postings, stats, [BM25_QUERY], k=10)
+    return out.select("doc_id", F.round("score", 5).alias("score_r"))
+
+
+def q_conjunctive_and(spark, sf_dir):
+    from .search.parity import conjunctive_and
+    return conjunctive_and(_tokens(spark, sf_dir), AND_QUERY)
+
+
+def q_completeness(spark, sf_dir):
+    from .search.parity import completeness
+    return completeness(_tokens(spark, sf_dir), AND_QUERY)
+
+
+def q_snippet_overlap(spark, sf_dir):
+    from .search.parity import snippet_overlap
+    return snippet_overlap(_docs(spark, sf_dir), SNIPPET_QUERY)
+
+
+def q_phrase_match(spark, sf_dir):
+    from .search.parity import phrase_match
+    return phrase_match(_tokens(spark, sf_dir), PHRASE)
+
+
+def q_cosine_scores(spark, sf_dir):
+    from .search.parity import cosine_scores
+    out = cosine_scores(_tokens(spark, sf_dir), COSINE_QUERY)
+    return out.select("doc_id", F.round("cosine", 6).alias("cosine_r"))
+
+
+def q_exact_dedup64(spark, sf_dir):
+    return (_docs(spark, sf_dir)
+            .groupBy(F.substring("text", 1, 64).alias("k"))
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id"))
+
+
+def q_minhash_sigs(spark, sf_dir):
+    from .dedup import minhash_signatures
+    out = minhash_signatures(_docs(spark, sf_dir), num_hashes=4, n=3)
+    return out.select("doc_id", F.col("hash_id").cast("long").alias("hash_id"),
+                      "minhash")
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    from .dedup import jaccard_pairs
+    return jaccard_pairs(_docs(spark, sf_dir), n=2, threshold=0.3)
+
+
+def q_simhash(spark, sf_dir):
+    from .dedup import simhash32
+    return simhash32(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    from .functions.textstats import lang_id
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_quality(spark, sf_dir):
+    from .functions.textstats import quality_scores
+    out = quality_scores(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("mean_token_len", 6).alias("mean_token_len_r"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio_r"),
+        F.round("punct_ratio", 6).alias("punct_ratio_r"),
+        F.round("quality", 6).alias("quality_r"))
+
+
+def q_fingerprints(spark, sf_dir):
+    from .functions.textstats import fingerprints
+    return fingerprints(_docs(spark, sf_dir))
+
+
+def q_embedding_top10(spark, sf_dir):
+    from .ann import brute_topk
+    emb = _emb(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    out = brute_topk(emb, [float(x) for x in qvec], k=10)
+    return out.select("vec_id", F.round("cosine", 5).alias("cos_r"))
+
+
+def q_pod_counts(spark, sf_dir):
+    """A3/A4: docs per pod (pod == source column)."""
+    return (_docs(spark, sf_dir).groupBy("source")
+            .agg(F.count("*").alias("n_docs")))
+
+
+def q_pod_top_terms(spark, sf_dir):
+    """A1: pod summary — top-3 terms per pod by weight."""
+    tok = (_tokens(spark, sf_dir)
+           .join(_docs(spark, sf_dir).select("doc_id", "source"), "doc_id")
+           .select("source", F.explode("tokens").alias("term")))
+    cnt = tok.groupBy("source", "term").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("term"))
+    return (cnt.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("source", "term", "cnt", F.col("rnk").cast("long").alias("rnk")))
+
+
+def q_events_hourly(spark, sf_dir):
+    """Tumbling-window aggregate over the events stream table (the batch
+    twin of the Structured Streaming ingest — SURVEY.md §2.10)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.groupBy("event_type",
+                       F.date_trunc("hour", F.col("ts")).alias("hour"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value_r")))
+
+
+# ------------------------------------------------------- rows-only queries
+
+def q_spm_tokens(spark, sf_dir):
+    """T1: SentencePiece-unigram tokenization over the synthetic
+    html corpus (non-SQL: Viterbi segmentation)."""
+    from .corpus import gen_corpus
+    from .index.build import tokenize_spm, with_doc_id
+    pdf = gen_corpus(120)
+    cdf = with_doc_id(spark.createDataFrame(pdf))
+    out = tokenize_spm(cdf.select("doc_id", "url", "text"))
+    return out.select("url", F.size("tokens").alias("n_pieces"))
+
+
+def q_extract_parity(spark, sf_dir):
+    """S7: HTML extraction over the synthetic corpus; `ok` flags
+    byte-identity between engine extraction and stored expected text."""
+    from .corpus import gen_corpus
+    from .functions.extract import extract_df
+    pdf = gen_corpus(120)
+    cdf = spark.createDataFrame(pdf)
+    ext = extract_df(cdf).withColumnRenamed("text", "etext")
+    exp = cdf.select("url", F.col("text").alias("expected"))
+    return (ext.join(exp, "url")
+            .select("url", (F.col("etext") == F.col("expected")).alias("ok"),
+                    F.length("etext").alias("n_chars")))
+
+
+def q_ann_lsh_top10(spark, sf_dir):
+    """LSH-bucketed ANN (approximate; recall vs brute tested in pytest)."""
+    from .ann import lsh_topk
+    emb = _emb(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return lsh_topk(emb, [float(x) for x in qvec], k=10)
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: binary payload -> feature vectors (decode
+    stubbed deterministically; Spark-side schema/batching real)."""
+    from .functions.multimodal import extract_features_df, synth_media
+    return extract_features_df(synth_media(spark, 48))
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (bucketed, threshold 0.9)."""
+    from .dedup import embedding_near_dup_pairs
+    out = embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.9)
+    return out.select("id_a", "id_b", F.round("cosine", 5).alias("cos_r"))
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "tf_top_terms": q_tf_top_terms,
+        "term_df": q_term_df,
+        "corpus_stats": q_corpus_stats,
+        "doc_token_counts": q_doc_token_counts,
+        "bm25_top10": q_bm25_top10,
+        "bm25_wand_top10": q_bm25_wand_top10,
+        "conjunctive_and": q_conjunctive_and,
+        "completeness": q_completeness,
+        "snippet_overlap": q_snippet_overlap,
+        "phrase_match": q_phrase_match,
+        "cosine_scores": q_cosine_scores,
+        "exact_dedup64": q_exact_dedup64,
+        "minhash_sigs": q_minhash_sigs,
+        "jaccard_pairs": q_jaccard_pairs,
+        "simhash": q_simhash,
+        "lang_id": q_lang_id,
+        "quality": q_quality,
+        "fingerprints": q_fingerprints,
+        "embedding_top10": q_embedding_top10,
+        "pod_counts": q_pod_counts,
+        "pod_top_terms": q_pod_top_terms,
+        "events_hourly": q_events_hourly,
+        "spm_tokens": q_spm_tokens,
+        "extract_parity": q_extract_parity,
+        "ann_lsh_top10": q_ann_lsh_top10,
+        "media_features": q_media_features,
+        "embedding_near_dups": q_embedding_near_dups,
+    }
+
+
+# ---------------------------------------------------------------- oracles
+
+def _in_list(words) -> str:
+    return ", ".join(f"'{w}'" for w in sorted(words))
+
+
+def oracle_sql() -> dict[str, str]:
+    k1, b = 1.2, 0.75
+    qn = len(set(BM25_QUERY))
+    bm25 = f"""
+WITH tok AS ({_TOK_SQL}),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+              (SELECT count(*) FROM tok)::DOUBLE
+              / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ({_in_list(BM25_QUERY)}) GROUP BY doc_id, term),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+parts AS (SELECT tf.doc_id,
+    ln((st.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0) * tf.tf
+      / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / st.avgdl)) AS part
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id), st),
+sc AS (SELECT doc_id, sum(part) AS score FROM parts GROUP BY doc_id)
+SELECT doc_id, round(score, 5) AS score_r FROM sc
+ORDER BY score DESC, doc_id LIMIT 10"""
+
+    simhash_bits = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32))
+    simhash_sums = ", ".join(
+        f"sum(CASE WHEN (hv >> {i}) & 1 = 1 THEN c ELSE -c END) AS s{i}"
+        for i in range(32))
+
+    lang_hits = ", ".join(
+        f"sum(CASE WHEN term IN ({_in_list(LANG_STOPWORDS[lg])}) THEN 1 ELSE 0 END)"
+        f"::BIGINT AS h_{lg}" for lg in ("en", "de", "fr", "es"))
+
+    _tok_lower_sql = _TOK_SQL.replace(
+        "string_split(text, ' ')",
+        r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')")
+
+    return {
+        "tf_top_terms": f"""
+WITH tok AS ({_TOK_SQL})
+SELECT term, count(*)::BIGINT AS cnt FROM tok
+GROUP BY term ORDER BY cnt DESC, term LIMIT 20""",
+
+        "term_df": f"""
+WITH tok AS ({_TOK_SQL})
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok
+GROUP BY term ORDER BY df DESC, term LIMIT 50""",
+
+        "corpus_stats": f"""
+WITH tok AS ({_TOK_SQL})
+SELECT count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(*)::DOUBLE / count(DISTINCT doc_id)::DOUBLE AS avgdl,
+       count(DISTINCT term)::BIGINT AS n_terms FROM tok""",
+
+        "doc_token_counts": r"""
+SELECT doc_id,
+       len(list_filter(string_split(lower(text), ' '), x -> x <> ''))::BIGINT
+         AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT
+         AS bpe_tokens
+FROM documents""",
+
+        "bm25_top10": bm25,
+        "bm25_wand_top10": bm25,
+
+        "conjunctive_and": f"""
+WITH tok AS ({_TOK_SQL})
+SELECT doc_id FROM tok WHERE term IN ({_in_list(AND_QUERY)})
+GROUP BY doc_id HAVING count(DISTINCT term) = {len(set(AND_QUERY))}""",
+
+        "completeness": f"""
+WITH tok AS ({_TOK_SQL})
+SELECT doc_id,
+       count(DISTINCT term) / {float(len(set(AND_QUERY)))} AS completeness
+FROM tok WHERE term IN ({_in_list(AND_QUERY)}) GROUP BY doc_id""",
+
+        "snippet_overlap": f"""
+WITH s AS (SELECT doc_id,
+    unnest(list_filter(string_split_regex(
+        regexp_replace(lower(substr(text, 1, 300)), '[^\\w\\s]', '', 'g'),
+        '\\s+'), x -> x <> '')) AS w
+  FROM documents)
+SELECT doc_id,
+       count(DISTINCT CASE WHEN w IN ({_in_list(SNIPPET_QUERY.split())})
+                           THEN w END)
+       / {float(len(set(SNIPPET_QUERY.lower().split())))} AS overlap
+FROM s GROUP BY doc_id""",
+
+        "phrase_match": f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+p AS (SELECT doc_id, unnest(toks) AS term,
+             generate_subscripts(toks, 1) AS i FROM t)
+SELECT DISTINCT a.doc_id FROM p a JOIN p b
+  ON a.doc_id = b.doc_id AND b.i = a.i + 1
+WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'""",
+
+        "cosine_scores": f"""
+WITH tok AS ({_TOK_SQL}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS c FROM tok GROUP BY 1, 2),
+dn AS (SELECT doc_id, sqrt(sum(c * c)) AS dn FROM tf GROUP BY doc_id),
+dot AS (SELECT doc_id, sum(c * (1.0 / sqrt({float(len(set(COSINE_QUERY)))})))
+          AS dot
+        FROM tf WHERE term IN ({_in_list(COSINE_QUERY)}) GROUP BY doc_id)
+SELECT doc_id, round(dot / dn, 6) AS cosine_r FROM dot JOIN dn USING (doc_id)""",
+
+        "exact_dedup64": """
+SELECT min(doc_id)::BIGINT AS doc_id FROM documents
+GROUP BY substr(text, 1, 64)""",
+
+        "minhash_sigs": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT DISTINCT doc_id,
+        unnest(list_transform(range(1, len(toks) - 1),
+                              i -> array_to_string(toks[i:i+2], ' ')))
+          AS shingle
+      FROM t WHERE len(toks) >= 3),
+h AS (SELECT doc_id, k.hash_id,
+             md5(k.hash_id::VARCHAR || ':' || shingle) AS h
+      FROM s, (SELECT unnest(range(0, 4)) AS hash_id) k)
+SELECT doc_id, hash_id::BIGINT AS hash_id, min(h) AS minhash
+FROM h GROUP BY doc_id, hash_id""",
+
+        "jaccard_pairs": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT DISTINCT doc_id,
+        unnest(list_transform(range(1, len(toks)),
+                              i -> array_to_string(toks[i:i+1], ' ')))
+          AS shingle
+      FROM t WHERE len(toks) >= 2),
+c AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM s GROUP BY doc_id),
+i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+      FROM s a JOIN s b USING (shingle) WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       inter / (ca.n_sh + cb.n_sh - inter) AS jaccard
+FROM i JOIN c ca ON ca.doc_id = doc_a JOIN c cb ON cb.doc_id = doc_b
+WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.3""",
+
+        "simhash": f"""
+WITH tok AS ({_TOK_SQL}),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
+h AS (SELECT doc_id, c,
+             ('0x' || substr(md5(term), 1, 8))::BIGINT AS hv FROM tf),
+bits AS (SELECT doc_id, {simhash_sums} FROM h GROUP BY doc_id)
+SELECT doc_id, ({simhash_bits})::BIGINT AS simhash FROM bits""",
+
+        "lang_id": f"""
+WITH tok AS ({_tok_lower_sql}),
+a AS (SELECT doc_id, {lang_hits} FROM tok GROUP BY doc_id)
+SELECT d.doc_id,
+  CASE WHEN a.doc_id IS NULL
+         OR greatest(h_en, h_de, h_fr, h_es) <= 0 THEN 'xx'
+       WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+       WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+       WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+       ELSE 'es' END AS pred_lang
+FROM documents d LEFT JOIN a USING (doc_id)""",
+
+        "quality": f"""
+WITH base AS (SELECT doc_id, text,
+    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents),
+m AS (SELECT doc_id,
+    length(text)::BIGINT AS n_chars,
+    len(w)::BIGINT AS n_tokens,
+    CASE WHEN len(w) > 0 THEN
+      length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / len(w)
+      ELSE 0.0 END AS mean_token_len,
+    CASE WHEN len(w) > 0 THEN
+      len(list_filter(w, x -> x IN ({_in_list(LANG_STOPWORDS['en'])})))::DOUBLE
+        / len(w) ELSE 0.0 END AS stopword_ratio,
+    CASE WHEN length(text) > 0 THEN
+      (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+        / length(text) ELSE 0.0 END AS punct_ratio
+  FROM base)
+SELECT doc_id, n_chars, n_tokens,
+  round(mean_token_len, 6) AS mean_token_len_r,
+  round(stopword_ratio, 6) AS stopword_ratio_r,
+  round(punct_ratio, 6) AS punct_ratio_r,
+  round(CASE WHEN n_tokens < 5 THEN 0.0 ELSE
+    0.4 * least(stopword_ratio * 4, 1.0)
+    + 0.3 * (1.0 - least(punct_ratio * 5, 1.0))
+    + 0.3 * least(n_tokens / 100.0, 1.0) END, 6) AS quality_r
+FROM m""",
+
+        "fingerprints": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+hs AS (SELECT doc_id,
+         list_transform(range(1, len(toks) - 3),
+                        i -> md5(array_to_string(toks[i:i+4], ' '))) AS hl
+       FROM t WHERE len(toks) >= 5),
+s AS (SELECT doc_id, unnest(hl) AS h,
+             generate_subscripts(hl, 1) AS ord FROM hs),
+w AS (SELECT doc_id,
+        min(h) OVER (PARTITION BY doc_id ORDER BY ord
+                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM s)
+SELECT DISTINCT doc_id, fp AS fingerprint FROM w""",
+
+        "embedding_top10": """
+WITH q AS (SELECT unnest(embedding)::DOUBLE AS qv,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings WHERE vec_id = 0),
+e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS ev,
+             generate_subscripts(embedding, 1) AS i FROM embeddings),
+d AS (SELECT vec_id, sum(ev * qv) AS dot, sum(ev * ev) AS ne
+      FROM e JOIN q USING (i) GROUP BY vec_id),
+nq AS (SELECT sum(qv * qv) AS s FROM q)
+SELECT vec_id, round(dot / (sqrt(ne) * sqrt(nq.s)), 5) AS cos_r
+FROM d, nq ORDER BY dot / (sqrt(ne) * sqrt(nq.s)) DESC, vec_id LIMIT 10""",
+
+        "pod_counts": """
+SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source""",
+
+        "pod_top_terms": f"""
+WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term
+             FROM documents WHERE text IS NOT NULL),
+c AS (SELECT source, term, count(*)::BIGINT AS cnt FROM tok GROUP BY 1, 2),
+r AS (SELECT source, term, cnt,
+        row_number() OVER (PARTITION BY source
+                           ORDER BY cnt DESC, term) AS rnk
+      FROM c)
+SELECT source, term, cnt, rnk::BIGINT AS rnk FROM r WHERE rnk <= 3""",
+
+        "events_hourly": """
+SELECT event_type, date_trunc('hour', ts) AS hour,
+       count(*)::BIGINT AS n, round(sum(value), 4) AS sum_value_r
+FROM events GROUP BY 1, 2""",
+    }

@@ -1,0 +1,167 @@
+"""Large-scale deduplication operators over the `documents` table.
+
+These are the training-data-pipeline ops a 100 TB corpus needs before
+indexing (exact dup removal, near-dup clustering). All hashing is MD5 so
+every operator has a bit-identical DuckDB oracle (Spark's xxhash64 /
+hash() have no cross-engine twin; md5 does).
+
+Scale notes:
+- exact dedup is one hash aggregate (map-side partial combine);
+- MinHash-LSH is the standard shingle -> K minhashes -> band buckets ->
+  bucket join pipeline (Broder 1997; Leskovec et al., MMDS ch.3): the
+  candidate join is an equi-join on (band_id, band_signature), so Spark
+  shuffles only bucket collisions, never the O(n^2) pair space;
+- SimHash (Charikar 2002) reduces each doc to a 32-bit sign fingerprint;
+  near-dups = fingerprints at small Hamming distance, found by exact
+  bucket join on the fingerprint (distance 0) or band rotation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+DEFAULT_SHINGLE = 3
+
+
+def exact_dedup(docs_df: DataFrame, key_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id doc per identical `key_col` — hash-groupBy
+    dedup (P4's left_anti insert-dedup generalized to batch)."""
+    w = Window.partitionBy(key_col).orderBy(F.asc(id_col))
+    return (docs_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def shingles(docs_df: DataFrame, n: int = DEFAULT_SHINGLE,
+             id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    df = docs_df.select(id_col, toks.alias("_t"))
+    # shingle i = tokens[i..i+n-1] joined by space
+    idx = F.sequence(F.lit(0), F.size("_t") - n)
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice("_t", i + 1, n)))
+    return (df.filter(F.size("_t") >= n)
+            .select(id_col, F.explode(F.array_distinct(sh)).alias("shingle")))
+
+
+def minhash_signatures(docs_df: DataFrame, num_hashes: int = 16,
+                       n: int = DEFAULT_SHINGLE) -> DataFrame:
+    """(doc_id, hash_id, minhash): minhash_k = min over shingles of
+    md5(k || ':' || shingle) — fixed-width lowercase hex, so string MIN
+    == 128-bit numeric MIN, identically in Spark and DuckDB."""
+    sh = shingles(docs_df, n)
+    hids = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("hash_id")
+    return (sh.select("doc_id", "shingle", hids)
+            .select("doc_id", "hash_id",
+                    F.md5(F.concat_ws(":", F.col("hash_id").cast("string"),
+                                      "shingle")).alias("h"))
+            .groupBy("doc_id", "hash_id")
+            .agg(F.min("h").alias("minhash")))
+
+
+def lsh_candidate_pairs(docs_df: DataFrame, num_hashes: int = 16,
+                        bands: int = 4, n: int = DEFAULT_SHINGLE) -> DataFrame:
+    """Near-dup candidate pairs via banding: docs sharing any band's full
+    minhash signature. Returns (doc_a, doc_b) with doc_a < doc_b."""
+    rows = num_hashes // bands
+    sig = (minhash_signatures(docs_df, num_hashes, n)
+           .withColumn("band", (F.col("hash_id") / rows).cast("int"))
+           .groupBy("doc_id", "band")
+           .agg(F.concat_ws("|", F.sort_array(F.collect_list(
+               F.concat_ws(":", F.col("hash_id").cast("string"), "minhash"))))
+                .alias("band_sig")))
+    a = sig.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
+    b = sig.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
+    return (a.join(b, ["band", "band_sig"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
+
+
+def jaccard_pairs(docs_df: DataFrame, candidates: DataFrame | None = None,
+                  n: int = DEFAULT_SHINGLE,
+                  threshold: float = 0.0) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (or all pairs that
+    share >= 1 shingle). (doc_a, doc_b, jaccard)."""
+    sh = shingles(docs_df, n)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (a.join(b, "shingle")
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter")))
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    na = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (inter.join(na, "doc_a").join(nb, "doc_b")
+            .select("doc_a", "doc_b",
+                    (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+                    .alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def simhash32(docs_df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """32-bit SimHash over whitespace tokens (tf-weighted): bit i of the
+    fingerprint = sign of sum over tokens of tf * (+1 if bit i of
+    md5-derived token hash else -1). (doc_id, simhash:int as long)."""
+    tok = docs_df.select(
+        id_col, F.explode(F.filter(F.split(F.col(text_col), " "),
+                                   lambda x: x != "")).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    # token hash = first 32 bits of md5 as a long (conv gives unsigned)
+    h = F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
+    tf = tf.withColumn("h", h)
+    aggs = []
+    for i in range(32):
+        bit = F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
+        aggs.append(F.sum(bit * F.col("tf")).alias(f"s{i}"))
+    sums = tf.groupBy(id_col).agg(*aggs)
+    fp = None
+    for i in range(32):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return sums.select(id_col, fp.cast("long").alias("simhash"))
+
+
+def simhash_dup_groups(docs_df: DataFrame) -> DataFrame:
+    """Docs sharing an identical SimHash fingerprint (Hamming distance
+    0 bucket join). (simhash, n_docs, doc_ids)."""
+    return (simhash32(docs_df)
+            .groupBy("simhash")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+            .filter(F.col("n_docs") > 1))
+
+
+def embedding_near_dup_pairs(emb_df: DataFrame, threshold: float = 0.95,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-dup pairs above `threshold`.
+
+    Baseline form: block-nested join on a coarse LSH sign-prefix bucket
+    (first 4 hyperplane signs from deterministic axis pairs) to avoid the
+    full O(n^2) cross join; exact cosine verify inside buckets."""
+    v = emb_df.select(F.col(id_col).alias("vid"),
+                      F.transform(F.col(vec_col),
+                                  lambda x: x.cast("double")).alias("v"))
+    # deterministic coarse bucket: signs of 4 fixed coordinate contrasts
+    def sign_bit(i, j, bit):
+        return F.when(F.element_at("v", i) - F.element_at("v", j) > 0,
+                      F.lit(1 << bit)).otherwise(F.lit(0))
+    bucket = (sign_bit(1, 33, 0) + sign_bit(2, 34, 1)
+              + sign_bit(3, 35, 2) + sign_bit(4, 36, 3))
+    v = v.withColumn("bucket", bucket)
+    a = v.select(F.col("vid").alias("id_a"), F.col("v").alias("va"), "bucket")
+    b = v.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform("va", lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    return (a.join(b, "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", dot / (na * nb))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))

@@ -1,0 +1,103 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language ID (stopword-profile n-gram heuristic), quality scoring
+(length / punctuation / stopword ratios), token counting (whitespace +
+BPE-ish regex), and document fingerprinting (md5 + winnowing rolling
+hash). Everything is built-in-function column algebra (JVM-side,
+whole-stage-codegen) — no Python in the path — and each op has an exact
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .extract import LANG_STOPWORDS
+
+# BPE-ish token pattern: word pieces, numbers, or single non-space symbols
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _words(text_col: str):
+    return F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda x: x != "")
+
+
+def lang_id(docs_df: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """(doc_id, pred_lang): argmax over language stopword profiles of
+    hit counts (with multiplicity); fixed en<de<fr<es precedence on ties,
+    'xx' when nothing hits — same rule as extract.detect_lang."""
+    tok = docs_df.select(id_col, F.explode(_words(text_col)).alias("w"))
+    counts = [
+        F.sum(F.when(F.col("w").isin(*sorted(LANG_STOPWORDS[lang])), 1)
+              .otherwise(0)).alias(f"hits_{lang}")
+        for lang in ("en", "de", "fr", "es")
+    ]
+    agg = tok.groupBy(id_col).agg(*counts)
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in ("en", "de", "fr", "es")])
+    pred = (F.when(best <= 0, "xx")
+            .when(F.col("hits_en") == best, "en")
+            .when(F.col("hits_de") == best, "de")
+            .when(F.col("hits_fr") == best, "fr")
+            .otherwise("es"))
+    out = agg.select(id_col, pred.alias("pred_lang"))
+    # docs with no tokens at all -> 'xx'
+    return (docs_df.select(id_col).join(out, id_col, "left")
+            .withColumn("pred_lang", F.coalesce("pred_lang", F.lit("xx"))))
+
+
+def quality_scores(docs_df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Per-doc quality features: n_chars, n_tokens, mean token length,
+    stopword_ratio, punct_ratio, and a [0,1] composite `quality`
+    (heuristics in the C4/Gopher spirit, deterministic)."""
+    w = _words(text_col)
+    n_tokens = F.size(w)
+    n_chars = F.length(text_col)
+    sw = F.size(F.filter(w, lambda x: x.isin(*sorted(LANG_STOPWORDS["en"]))))
+    punct = n_chars - F.length(F.regexp_replace(F.col(text_col),
+                                                r"[^\w\s]", ""))
+    mean_len = F.when(n_tokens > 0,
+                      F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
+                      / n_tokens).otherwise(F.lit(0.0))
+    sw_ratio = F.when(n_tokens > 0, sw / n_tokens).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    quality = (F.when(n_tokens < 5, 0.0).otherwise(
+        0.4 * F.least(sw_ratio * 4, F.lit(1.0))
+        + 0.3 * (1.0 - F.least(punct_ratio * 5, F.lit(1.0)))
+        + 0.3 * F.least(n_tokens / 100.0, F.lit(1.0))))
+    return docs_df.select(
+        id_col, n_chars.alias("n_chars"), n_tokens.alias("n_tokens"),
+        mean_len.alias("mean_token_len"), sw_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"), quality.alias("quality"))
+
+
+def token_counts(docs_df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(doc_id, ws_tokens, bpe_tokens): whitespace count and a BPE-ish
+    regex token count (letters runs / digit runs / single symbols)."""
+    ws = F.size(_words(text_col))
+    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0))
+    return docs_df.select(id_col, ws.alias("ws_tokens"), bpe.alias("bpe_tokens"))
+
+
+def fingerprints(docs_df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", shingle_n: int = 5,
+                 window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003): hash
+    every `shingle_n`-gram (md5), keep the MIN hash of each sliding
+    window of `window` consecutive shingles, distinct per doc.
+    (doc_id, fingerprint:string). md5 keeps the DuckDB oracle exact."""
+    toks = _words(text_col)
+    df = docs_df.select(id_col, toks.alias("_t"))
+    idx = F.sequence(F.lit(0), F.size("_t") - shingle_n)
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice("_t", i + 1,
+                                                             shingle_n)))
+    exploded = (df.filter(F.size("_t") >= shingle_n)
+                .select(id_col, F.posexplode(sh).alias("ord", "shingle"))
+                .withColumn("h", F.md5("shingle")))
+    w = (Window.partitionBy(id_col).orderBy("ord")
+         .rowsBetween(0, window - 1))
+    return (exploded.withColumn("fp", F.min("h").over(w))
+            .select(id_col, F.col("fp").alias("fingerprint")).distinct())

@@ -1,0 +1,128 @@
+"""Local emulation of the driver's correctness gate.
+
+Runs every queries() entry on Spark and, where an oracle exists, the
+matching SQL on DuckDB over the same parquet tables; compares row count,
+column names, and order-insensitive values (exact for ints/strings,
+1e-9 for floats — the driver hashes exact values, so any float diff is
+reported loudly).
+
+Usage: python tools/check_contract.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def duck_con(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if np.issubdtype(df[c].dtype, np.datetime64):
+            df[c] = df[c].astype("datetime64[ns]").astype(np.int64)
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif np.issubdtype(df[c].dtype, np.floating):
+            df[c] = df[c].astype(np.float64)
+        elif np.issubdtype(df[c].dtype, np.integer):
+            df[c] = df[c].astype(np.int64)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(sdf.columns) != sorted(odf.columns):
+        return [f"columns differ: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"]
+    if len(sdf) != len(odf):
+        problems.append(f"row count: spark={len(sdf)} oracle={len(odf)}")
+    s, o = canon(sdf), canon(odf)
+    if len(s) == len(o):
+        for c in s.columns:
+            if np.issubdtype(s[c].dtype, np.floating) or np.issubdtype(o[c].dtype, np.floating):
+                sv = s[c].astype(float).to_numpy()
+                ov = o[c].astype(float).to_numpy()
+                bad = ~np.isclose(sv, ov, rtol=0, atol=1e-9, equal_nan=True)
+                if bad.any():
+                    i = int(np.argmax(bad))
+                    problems.append(f"col {c}: {int(bad.sum())} float diffs, "
+                                    f"e.g. row {i}: {sv[i]!r} vs {ov[i]!r}")
+                elif not (sv == ov).all():
+                    n = int((sv != ov).sum())
+                    problems.append(f"col {c}: {n} sub-1e-9 float diffs "
+                                    f"(HASH WOULD MISMATCH)")
+            else:
+                if not s[c].equals(o[c]):
+                    bad = s[c] != o[c]
+                    i = int(np.argmax(bad.to_numpy()))
+                    problems.append(f"col {c}: {int(bad.sum())} diffs, e.g. "
+                                    f"row {i}: {s[c].iloc[i]!r} vs {o[c].iloc[i]!r}")
+    return problems
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    import __spark_entry__ as entrymod
+    from pears_lite_spark.session import get_spark
+    spark = get_spark(master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    con = duck_con(sf_dir)
+    fails = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            fails += 1
+            continue
+        if name not in oracles:
+            print(f"rows-only {name}: {len(sdf)} rows "
+                  f"({time.time()-t0:.1f}s)")
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetch_df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            fails += 1
+            continue
+        problems = compare(name, sdf, odf)
+        if problems:
+            fails += 1
+            print(f"FAIL {name} ({len(sdf)} rows):")
+            for p in problems:
+                print(f"   - {p}")
+        else:
+            print(f"ok   {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+    # entry smoke
+    if not only:
+        edf = entrymod.entry(spark).toPandas()
+        print(f"entry: {len(edf)} rows, schema {list(edf.columns)}")
+    print("FAILURES:", fails)
+    spark.stop()
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
