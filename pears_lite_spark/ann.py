@@ -75,28 +75,32 @@ def with_lsh_bucket(emb_df: DataFrame, planes: np.ndarray,
 
 
 def lsh_topk(emb_df: DataFrame, query_vec: list[float], k: int = 10,
-             n_planes: int = 8, max_hamming: int = 1,
-             id_col: str = "vec_id", vec_col: str = "embedding",
-             planes: np.ndarray | None = None) -> DataFrame:
-    """Approximate top-k: probe buckets within `max_hamming` bit flips
-    of the query bucket, exact cosine re-rank inside."""
+             n_planes: int = 8, max_hamming: int = 1, n_tables: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k via multi-table LSH: `n_tables` independent
+    plane sets; candidates = union over tables of buckets within
+    `max_hamming` bit flips of the query's bucket; exact cosine re-rank
+    on the union (standard recall amplification — MMDS ch.3)."""
     q = np.asarray(query_vec, dtype=np.float64)
-    if planes is None:
-        planes = hyperplanes(len(q), n_planes)
-    qbucket = 0
-    for i, p in enumerate(planes):
-        if float(p @ q) > 0:
-            qbucket |= 1 << i
-    probe = {qbucket}
-    if max_hamming >= 1:
-        for i in range(len(planes)):
-            probe.add(qbucket ^ (1 << i))
-    if max_hamming >= 2:
-        for i in range(len(planes)):
-            for j in range(i + 1, len(planes)):
-                probe.add(qbucket ^ (1 << i) ^ (1 << j))
-    bucketed = with_lsh_bucket(emb_df, planes, vec_col)
-    cand = bucketed.filter(F.col("lsh_bucket").isin(sorted(probe)))
+    cand = None
+    for t in range(n_tables):
+        planes = hyperplanes(len(q), n_planes, seed=LSH_SEED + t)
+        qbucket = 0
+        for i, p in enumerate(planes):
+            if float(p @ q) > 0:
+                qbucket |= 1 << i
+        probe = {qbucket}
+        if max_hamming >= 1:
+            for i in range(len(planes)):
+                probe.add(qbucket ^ (1 << i))
+        if max_hamming >= 2:
+            for i in range(len(planes)):
+                for j in range(i + 1, len(planes)):
+                    probe.add(qbucket ^ (1 << i) ^ (1 << j))
+        bucketed = with_lsh_bucket(emb_df, planes, vec_col)
+        sel = bucketed.filter(F.col("lsh_bucket").isin(sorted(probe))).drop("lsh_bucket")
+        cand = sel if cand is None else cand.unionByName(sel)
+    cand = cand.dropDuplicates([id_col])
     return brute_topk(cand, list(map(float, q)), k, id_col, vec_col)
 
 

@@ -1,0 +1,179 @@
+"""Resumable index builds: per-partition checkpoints + lineage manifests.
+
+The north rule requires index builds over corpus snapshots to be
+resumable from per-partition checkpoints with lineage manifests
+recording input splits, posting counts, and bytes written. The
+reference has no analogue (its ingest is one-doc-at-a-time with a
+full-index rewrite per doc — `/root/reference/app/indexer/posix.py:
+17-28`); this module adds the missing production story:
+
+- the corpus is split into `n_parts` deterministic logical partitions by
+  `pmod(xxhash64(url), n_parts)` (content-addressed, so a re-run maps
+  every doc to the same partition regardless of input file order);
+- each partition builds independently (build_postings on its slice) and
+  commits atomically: postings parquet under `part=<p>/` first, then a
+  `manifest_<p>.json` with doc/posting/block/byte counts and the input
+  fingerprint — a manifest is only written AFTER a successful parquet
+  commit, so a killed job leaves either nothing or a complete partition;
+- `build_resumable` skips partitions whose manifest matches the input
+  fingerprint — kill + re-run touches only unfinished partitions and
+  produces byte-identical output (deterministic encoding);
+- queries run directly on the union (the WAND scorer treats each part
+  as its own sorted cursor per term); `compact_index` optionally merges
+  parts into one canonical segment (LSM/Lucene-style merge expressed as
+  a decode -> merge -> re-encode applyInPandas).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import codec
+from .build import (POSTING_SCHEMA, CorpusStats, _encode_group_factory,
+                    build_postings, corpus_stats)
+
+
+def _manifest_path(path: str, part: int) -> str:
+    return os.path.join(path, f"manifest_{part}.json")
+
+
+def input_fingerprint(tokens_df: DataFrame, part_col: str = "build_part") -> dict[int, dict]:
+    """Per-partition fingerprint: n_docs + xor of doc_ids (order-free,
+    cheap, content-addressed)."""
+    rows = (tokens_df.groupBy(part_col)
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.col("doc_id")).alias("sum_ids"))
+            .collect())
+    return {int(r[part_col]): {"n_docs": int(r["n_docs"]),
+                               "sum_ids": int(r["sum_ids"])} for r in rows}
+
+
+def build_resumable(tokens_df: DataFrame, path: str, n_parts: int = 8,
+                    stats: CorpusStats | None = None,
+                    block_size: int = codec.BLOCK_SIZE,
+                    range_shift: int | None = None,
+                    with_positions: bool = True,
+                    fail_after_parts: int | None = None) -> CorpusStats:
+    """Build the index under `path`, one commit per logical partition.
+
+    `fail_after_parts` injects a crash after N partitions (tests only).
+    Returns the corpus stats (written as `_stats.json`).
+    """
+    os.makedirs(path, exist_ok=True)
+    tokens_df = tokens_df.withColumn(
+        "build_part", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_parts)).cast("int"))
+    if stats is None:
+        stats = corpus_stats(tokens_df)
+        with open(os.path.join(path, "_stats.json"), "w") as fh:
+            json.dump({"n_docs": stats.n_docs, "avgdl": stats.avgdl}, fh)
+    fingerprints = input_fingerprint(tokens_df)
+    done = 0
+    for part in range(n_parts):
+        fp = fingerprints.get(part)
+        if fp is None:
+            continue  # empty partition
+        mpath = _manifest_path(path, part)
+        if os.path.exists(mpath):
+            with open(mpath) as fh:
+                m = json.load(fh)
+            if m.get("input") == fp:
+                continue  # already built for this exact input slice
+        if fail_after_parts is not None and done >= fail_after_parts:
+            raise RuntimeError(f"injected failure after {done} partitions")
+        slice_df = tokens_df.filter(F.col("build_part") == part).drop("build_part")
+        postings, _ = build_postings(slice_df, stats=stats,
+                                     block_size=block_size,
+                                     range_shift=range_shift,
+                                     with_positions=with_positions)
+        part_dir = os.path.join(path, f"part={part}")
+        postings.write.mode("overwrite").parquet(part_dir)
+        agg = postings.agg(
+            F.count("*").alias("n_blocks"),
+            F.sum("n").alias("n_postings"),
+            F.sum(F.octet_length("docs") + F.octet_length("tfs")
+                  + F.octet_length("dls")
+                  + F.coalesce(F.octet_length("positions"), F.lit(0)))
+            .alias("bytes")).collect()[0]
+        manifest = {
+            "partition": part,
+            "input": fp,
+            "n_docs": fp["n_docs"],
+            "n_blocks": int(agg["n_blocks"] or 0),
+            "n_postings": int(agg["n_postings"] or 0),
+            "payload_bytes": int(agg["bytes"] or 0),
+            "files": sorted(f for f in os.listdir(part_dir)
+                            if f.endswith(".parquet")),
+        }
+        with open(mpath, "w") as fh:
+            json.dump(manifest, fh, indent=1)
+        done += 1
+    return stats
+
+
+def read_resumable(spark: SparkSession, path: str) -> tuple[DataFrame, CorpusStats]:
+    """Read a (possibly multi-part) resumable index; `part` becomes a
+    column via partition discovery."""
+    df = spark.read.option("basePath", path).parquet(
+        *[os.path.join(path, d) for d in sorted(os.listdir(path))
+          if d.startswith("part=")])
+    with open(os.path.join(path, "_stats.json")) as fh:
+        d = json.load(fh)
+    return df, CorpusStats(n_docs=d["n_docs"], avgdl=d["avgdl"])
+
+
+def manifests(path: str) -> list[dict]:
+    out = []
+    for f in sorted(os.listdir(path)):
+        if f.startswith("manifest_") and f.endswith(".json"):
+            with open(os.path.join(path, f)) as fh:
+                out.append(json.load(fh))
+    return out
+
+
+def compact_index(postings: DataFrame, stats: CorpusStats,
+                  block_size: int = codec.BLOCK_SIZE) -> DataFrame:
+    """Merge a multi-part index into one canonical segment: decode all
+    parts' blocks per (term_id, doc_range), merge-sort postings, and
+    re-encode — the distributed form of an LSM/Lucene segment merge."""
+    has_pos = "positions" in postings.columns
+
+    def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        term_id, doc_range = int(key[0]), int(key[1])
+        doc_l, tf_l, dl_l, pos_l = [], [], [], []
+        for _, r in pdf.iterrows():
+            n = int(r["n"])
+            doc_l.append(codec.decode_block_docs(r["docs"], n))
+            tf_l.append(codec.decode_block_tfs(r["tfs"], n))
+            dl_l.append(codec.varint_decode(r["dls"], n).astype(np.int64))
+            if has_pos and r["positions"] is not None:
+                pos_l.extend(codec.decode_block_positions(r["positions"], n))
+            elif has_pos:
+                pos_l.extend([np.empty(0, np.int64)] * n)
+        docs = np.concatenate(doc_l)
+        order = np.argsort(docs, kind="mergesort")
+        docs = docs[order]
+        tfs = np.concatenate(tf_l)[order]
+        dls = np.concatenate(dl_l)[order]
+        poss = [pos_l[i] for i in order] if has_pos else None
+        blocks = codec.encode_postings(docs, tfs, dls, stats.avgdl,
+                                       positions=poss, block_size=block_size)
+        term = pdf["term"].iloc[0]
+        rows, i = [], 0
+        for b in blocks:
+            rows.append((term_id, term, doc_range, b.block_id, b.first_doc,
+                         b.last_doc, b.n, b.max_impact, b.docs, b.tfs,
+                         codec.varint_encode(dls[i:i + b.n].astype(np.uint64)),
+                         b.positions))
+            i += b.n
+        return pd.DataFrame(rows, columns=[f.name for f in POSTING_SCHEMA.fields])
+
+    cols = [f.name for f in POSTING_SCHEMA.fields if has_pos or f.name != "positions"]
+    return (postings.select(*cols)
+            .groupBy("term_id", "doc_range")
+            .applyInPandas(merge, schema=POSTING_SCHEMA))

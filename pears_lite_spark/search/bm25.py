@@ -46,6 +46,7 @@ from ..index.build import CorpusStats
 K1 = codec.K1
 B = codec.B
 EPS = 1e-9
+_SENTINEL = 1 << 63  # > any signed-64 doc_id
 
 
 def idf(n_docs: int, df: float) -> float:
@@ -130,7 +131,7 @@ class _Cursor:
 
     @property
     def doc(self) -> int:
-        return 1 << 62 if self.exhausted else int(self.docs[self.pi])
+        return _SENTINEL if self.exhausted else int(self.docs[self.pi])
 
     @property
     def contribution(self) -> float:
@@ -185,7 +186,7 @@ def wand_topk(term_lists: list[dict], k: int, avgdl: float,
         if pivot < 0:
             break  # not even the sum of all UBs beats the threshold
         pivot_doc = cursors[pivot].doc
-        if pivot_doc >= (1 << 62):
+        if pivot_doc >= _SENTINEL:
             break
         if cursors[0].doc == pivot_doc:
             # fully aligned: score pivot_doc exactly
@@ -222,7 +223,11 @@ def _wand_group_factory(avgdl: float, k: int, k1: float, b: float):
     def score_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         query_id = int(key[0])
         term_lists = []
-        for _, g in pdf.groupby("term_id", sort=True):
+        # a multi-part index (resumed/streaming build) holds several
+        # disjoint sorted posting lists per term — one cursor each;
+        # disjointness keeps WAND's per-doc scoring exact.
+        gcols = ["term_id", "part"] if "part" in pdf.columns else ["term_id"]
+        for _, g in pdf.groupby(gcols, sort=True):
             g = g.sort_values(["block_id"], kind="mergesort")
             blocks = list(zip(g["first_doc"], g["last_doc"], g["n"],
                               g["max_impact"], g["docs"], g["tfs"], g["dls"]))
@@ -264,8 +269,11 @@ def search_blocks(postings: DataFrame, stats: CorpusStats,
         buckets = sorted({tid % n_buckets for tid in term_ids})
         scan = scan.filter(F.col("term_bucket").isin(buckets))
     # column pruning: positions are not needed for BM25 scoring
-    scan = scan.select("term_id", "doc_range", "block_id", "first_doc",
-                       "last_doc", "n", "max_impact", "docs", "tfs", "dls")
+    cols = ["term_id", "doc_range", "block_id", "first_doc",
+            "last_doc", "n", "max_impact", "docs", "tfs", "dls"]
+    if "part" in postings.columns:
+        cols.append("part")
+    scan = scan.select(*cols)
 
     # df per term from block metadata (no second pass over the corpus)
     dft = scan.groupBy("term_id").agg(F.sum("n").alias("df"))

@@ -1,0 +1,72 @@
+"""BM25 rank-identity: engine (exhaustive DataFrame AND block-max WAND
+index) vs the frozen numpy oracle, over the deterministic reference
+query set on the synthetic SPM-tokenized corpus."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pears_lite_spark.corpus import gen_query_set
+from pears_lite_spark.index.build import build_postings
+from pears_lite_spark.search.bm25 import bm25_topk, search_blocks
+from pears_lite_spark.vocab import get_vocab
+
+from .oracle import bm25_topk_oracle
+
+
+@pytest.fixture(scope="module")
+def oracle_docs(spm_tokens_df):
+    return {r["doc_id"]: list(r["tokens"]) for r in spm_tokens_df.collect()}
+
+
+@pytest.fixture(scope="module")
+def query_pieces(corpus_pdf):
+    v = get_vocab()
+    qs = gen_query_set(corpus_pdf)[:24]  # subset for test runtime
+    return [(q, v.encode_as_pieces(q)) for q in qs]
+
+
+@pytest.fixture(scope="module")
+def index(spm_tokens_df):
+    postings, stats = build_postings(spm_tokens_df)
+    return postings.persist(), stats
+
+
+def test_wand_rank_identity_vs_oracle(index, oracle_docs, query_pieces):
+    postings, stats = index
+    queries = [p for _, p in query_pieces]
+    res = search_blocks(postings, stats, queries, k=10).toPandas()
+    for qid, (q, pieces) in enumerate(query_pieces):
+        exp = bm25_topk_oracle(oracle_docs, pieces, 10)
+        sub = res[res.query_id == qid].sort_values("rank")
+        got_ids = [int(d) for d in sub["doc_id"]]
+        got_scores = [float(s) for s in sub["score"]]
+        assert got_ids == [d for d, _ in exp], q
+        for gs, (ed, es) in zip(got_scores, exp):
+            assert gs == pytest.approx(es, abs=1e-6), q
+
+
+def test_exhaustive_rank_identity_vs_oracle(spm_tokens_df, oracle_docs,
+                                            query_pieces):
+    for q, pieces in query_pieces[:8]:
+        exp = bm25_topk_oracle(oracle_docs, pieces, 10)
+        got = bm25_topk(spm_tokens_df, pieces, 10).collect()
+        assert [r["doc_id"] for r in got] == [d for d, _ in exp], q
+        for r, (ed, es) in zip(got, exp):
+            assert r["score"] == pytest.approx(es, abs=1e-6), q
+
+
+def test_planted_phrase_docs_rank(index, oracle_docs):
+    """Docs with the planted phrase must surface for the phrase query."""
+    postings, stats = index
+    v = get_vocab()
+    pieces = v.encode_as_pieces("watermelon festival season")
+    res = search_blocks(postings, stats, [pieces], k=10).toPandas()
+    assert len(res) > 0
+    top = bm25_topk_oracle(oracle_docs, pieces, 10)
+    assert int(res.sort_values("rank")["doc_id"].iloc[0]) == top[0][0]
+
+
+def test_zero_hit_query(index):
+    postings, stats = index
+    res = search_blocks(postings, stats, [["▁zzzznothere"]], k=10).toPandas()
+    assert len(res) == 0

@@ -1,0 +1,86 @@
+"""Dedup + ANN: planted near-dups must be found; LSH recall vs brute."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = ("the silver river bridge crosses the green valley near the old "
+            "stone mill where travelers rest and merchants trade goods")
+    near = base.replace("merchants", "sailors")  # one-word edit
+    far = ("violin concert melody fills the grand theater hall while the "
+           "audience listens in complete silence tonight again")
+    rows = [(1, base), (2, base), (3, near), (4, far),
+            (5, "tiny text"), (6, "tiny text")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(dup_docs):
+    from pears_lite_spark.dedup import exact_dedup
+    kept = sorted(r["doc_id"] for r in exact_dedup(dup_docs).collect())
+    assert kept == [1, 3, 4, 5]
+
+
+def test_minhash_lsh_finds_near_dups(dup_docs):
+    from pears_lite_spark.dedup import jaccard_pairs, lsh_candidate_pairs
+    cands = lsh_candidate_pairs(dup_docs, num_hashes=16, bands=8, n=3)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in cands.collect()}
+    assert (1, 2) in pairs            # identical docs always collide
+    assert (1, 3) in pairs or (2, 3) in pairs  # near-dup should collide
+    verified = jaccard_pairs(dup_docs, candidates=cands, n=3, threshold=0.5)
+    vp = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in verified.collect()}
+    assert vp[(1, 2)] == pytest.approx(1.0)
+    assert (1, 4) not in vp
+
+
+def test_simhash_identical_docs_same_fingerprint(dup_docs):
+    from pears_lite_spark.dedup import simhash32, simhash_dup_groups
+    fps = {r["doc_id"]: r["simhash"] for r in simhash32(dup_docs).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[4]
+    groups = simhash_dup_groups(dup_docs).collect()
+    grouped_ids = {tuple(r["doc_ids"]) for r in groups}
+    assert (1, 2) in grouped_ids
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+
+def test_lsh_ann_recall_vs_brute(spark, emb):
+    from pears_lite_spark.ann import brute_topk, lsh_topk
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 3).collect()[0]["embedding"]]
+    exact = [r["vec_id"] for r in brute_topk(emb, qvec, 10).collect()]
+    approx = [r["vec_id"] for r in
+              lsh_topk(emb, qvec, 10, n_planes=8, max_hamming=2).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert exact[0] == 3  # self is nearest
+    assert recall >= 0.5, (exact, approx)
+
+
+def test_brute_topk_matches_numpy(spark, emb):
+    from pears_lite_spark.ann import brute_topk
+    pdf = emb.toPandas()
+    mat = np.vstack(pdf["embedding"].map(np.asarray)).astype(np.float64)
+    q = mat[0]
+    cos = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((pdf["vec_id"].to_numpy(), -cos))[:10]
+    exp = pdf["vec_id"].to_numpy()[order].tolist()
+    got = [r["vec_id"] for r in brute_topk(emb, list(q), 10).collect()]
+    assert got == exp
+
+
+def test_embedding_near_dup_pairs_self_consistency(spark):
+    from pears_lite_spark.dedup import embedding_near_dup_pairs
+    rows = [(1, [1.0, 0.0, 0.0, 0.0] * 16, 0),
+            (2, [1.0, 0.001, 0.0, 0.0] * 16, 0),
+            (3, [0.0, 1.0, 0.0, 0.0] * 16, 0)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in embedding_near_dup_pairs(df, threshold=0.9).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.999
+    assert (1, 3) not in pairs

@@ -1,0 +1,84 @@
+"""Extraction + tokenization parity: the per-row invariant (distributed
+UDF output must be byte-identical to the driver-side oracle and to the
+corpus's stored expected text)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from pears_lite_spark.functions.extract import detect_lang, extract_df, extract_html
+from pears_lite_spark.vocab import get_vocab
+from pears_lite_spark.search.parity import group_subwords
+
+
+def test_extract_invariant_driver_side(corpus_pdf):
+    for _, row in corpus_pdf.iterrows():
+        title, body, snippet, lang = extract_html(row.html)
+        assert body == row.text, row.url
+        assert snippet == body[:300].replace(",", "-")
+        assert lang == row.lang
+
+
+def test_extract_parity_spark(spark, corpus_pdf):
+    cdf = spark.createDataFrame(corpus_pdf)
+    got = extract_df(cdf).select("url", "text", "lang").toPandas()
+    exp = corpus_pdf[["url", "text", "lang"]]
+    m = got.merge(exp, on="url", suffixes=("_got", "_exp"))
+    assert len(m) == len(corpus_pdf)
+    assert (m.text_got == m.text_exp).all()
+    assert (m.lang_got == m.lang_exp).all()
+
+
+def test_extract_boilerplate_rules():
+    html = (b"<html><head><title>T</title></head><body>"
+            b"<nav><a href='/'>home</a> <a href='/x'>about</a></nav>"
+            b"<p>the quick brown fox jumps over the lazy dog and runs far away today</p>"
+            b"<p>short</p>"
+            b"<footer>copyright 2024</footer></body></html>")
+    title, body, snippet, lang = extract_html(html)
+    assert title == "T"
+    assert "quick brown fox" in body
+    assert "home" not in body          # link-density kill
+    assert "short" not in body         # length kill
+    assert "copyright" not in body     # stopword-density kill
+    assert lang == "en"
+
+
+def test_detect_lang_profiles():
+    assert detect_lang("the cat is on the mat and it is happy") == "en"
+    assert detect_lang("der hund ist in dem haus und er ist") == "de"
+    assert detect_lang("zq001 zq002 zq003") == "xx"
+    assert detect_lang("") == "xx"
+
+
+def test_tokenizer_deterministic_and_word_markers():
+    v = get_vocab()
+    a = v.encode_as_pieces("Watermelon Festival Season")
+    b = v.encode_as_pieces("watermelon  festival   season")
+    assert a == b  # lowercase + whitespace collapse
+    words = group_subwords(a)
+    assert len(words) == 3  # three ▁-initiated words
+    assert all(w[0].startswith("▁") for w in words)
+    assert "".join(p for w in words for p in w).count("▁") == 3
+
+
+def test_tokenizer_spark_parity(spark, corpus_pdf, spm_tokens_df, corpus_df):
+    v = get_vocab()
+    got = {r["doc_id"]: r["tokens"] for r in spm_tokens_df.collect()}
+    ids = {r["url"]: r["doc_id"]
+           for r in corpus_df.select("url", "doc_id").collect()}
+    checked = 0
+    for _, row in corpus_pdf.head(60).iterrows():
+        exp = v.encode_as_pieces(row.text)
+        assert got[ids[row.url]] == exp, row.url
+        checked += 1
+    assert checked == 60
+
+
+def test_vocab_membership_unknowns():
+    v = get_vocab()
+    pieces = v.encode_as_pieces("water §§§")
+    assert "▁water" in pieces
+    # unknown chars surface as single-char fallback pieces, droppable by
+    # a vocab-membership filter (reference posix.py:20-22 rule)
+    unknown = [p for p in pieces if p not in v.piece_to_id]
+    assert unknown

