@@ -1,0 +1,213 @@
+"""Benchmark harness: index-build throughput + BM25 query latency +
+two-parallelism scaling efficiency (the BASELINE.json north-rule
+criteria, sandbox protocol per BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-phase seconds...}, "sf": ...,
+   "index_docs_per_sec": ..., "bm25_p50_ms": ...,
+   "scaling": {"throughput_low": ..., "throughput_high": ...,
+               "efficiency": ...}}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32; the scaling run uses CPUS/4 vs CPUS),
+     PEARS_BENCH_DOCS (override corpus size), PEARS_BENCH_SKIP_SCALING.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_session(cores: int, shuffle_partitions: int | None = None):
+    from pears_lite_spark.session import get_spark
+    spark = get_spark(app_name=f"pears-bench-{cores}",
+                      master=f"local[{cores}]",
+                      shuffle_partitions=shuffle_partitions or cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def corpus_path(n_docs: int) -> str:
+    """Deterministic synthetic HTML corpus, generated once per size."""
+    from pears_lite_spark.corpus import write_corpus_parquet
+    path = f"/tmp/pears_bench_corpus_{n_docs}.parquet"
+    if not os.path.exists(path):
+        t0 = time.time()
+        write_corpus_parquet(path, n_docs)
+        log(f"generated corpus n={n_docs} in {time.time()-t0:.1f}s")
+    return path
+
+
+def build_index_job(spark, cpath: str, out_dir: str):
+    """The full north-rule pipeline: html -> extract -> SPM tokenize ->
+    postings blocks -> bucketed parquet. Returns (n_docs, stats)."""
+    from pears_lite_spark.index.build import (build_postings, corpus_stats,
+                                              ingest_tokens, write_index)
+    # the corpus directory holds many ~2500-doc files, so the scan
+    # splits across executors with NO shuffle of the html payload (at
+    # web scale you never repartition 100 TB of raw bytes)
+    corpus = spark.read.parquet(cpath).select("url", "html")
+    toks = ingest_tokens(corpus).select("doc_id", "tokens").persist()
+    stats = corpus_stats(toks)
+    postings, stats = build_postings(toks, stats=stats)
+    write_index(postings, out_dir, stats=stats)
+    toks.unpersist()
+    return stats
+
+
+def _timed_build_inproc(cores: int, cpath: str, tag: str) -> tuple[float, int]:
+    spark = make_session(cores)
+    try:
+        # steady-state measurement: warm the JVM and EVERY Python worker
+        # (numpy/pyarrow imports, vocab + word-cache load) with a
+        # miniature build fanned across all cores, then time the real job
+        warm = (spark.read.parquet(cpath).limit(40 * cores)
+                .repartition(2 * cores))
+        warm.write.mode("overwrite").parquet("/tmp/pears_bench_warm_in")
+        build_index_job(spark, "/tmp/pears_bench_warm_in",
+                        f"/tmp/pears_bench_warm_{tag}")
+        out = f"/tmp/pears_bench_idx_{tag}"
+        t0 = time.time()
+        stats = build_index_job(spark, cpath, out)
+        dt = time.time() - t0
+        return dt, stats.n_docs
+    finally:
+        spark.stop()
+
+
+def timed_build(cores: int, cpath: str, tag: str) -> tuple[float, int]:
+    """Run the timed build in a FRESH subprocess so each parallelism
+    level gets its own JVM (no GC/heap contamination between runs)."""
+    import subprocess
+    code = (f"import sys; sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r}); "
+            f"import bench; dt, n = bench._timed_build_inproc({cores}, {cpath!r}, {tag!r}); "
+            f"print('RESULT', dt, n)")
+    proc = subprocess.run([sys.executable, "-c", code],
+                          capture_output=True, text=True, timeout=3000)
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT"):
+            _, dt, n = line.split()
+            return float(dt), int(n)
+    raise RuntimeError(f"timed_build subprocess failed: "
+                       f"{proc.stdout[-500:]} {proc.stderr[-2000:]}")
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    import duckdb
+    sf_docs = duckdb.connect().execute(
+        f"select count(*) from read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    n_docs = int(os.environ.get("PEARS_BENCH_DOCS", max(20 * sf_docs, 10000)))
+    cpath = corpus_path(n_docs)
+
+    queries_sec: dict[str, float] = {}
+
+    # ---- phase 1: index build at full parallelism (headline throughput)
+    t_high, built_docs = timed_build(cpus, cpath, f"high{cpus}")
+    queries_sec["index_build"] = round(t_high, 3)
+    thr_high = built_docs / t_high
+    log(f"build@{cpus}: {t_high:.1f}s = {thr_high:.0f} docs/s")
+
+    # ---- phase 2: N vs 4N scaling (north rule). This host exposes 32
+    # LOGICAL cpus over 16 physical cores (SMT): thread pairs 8->32
+    # cannot scale 4x by hardware, so the sandbox proxy measures the
+    # algorithmic scaling inside the physical-core budget (2 vs 8),
+    # subprocess-isolated so each level gets a fresh JVM. See BASELINE.md.
+    scaling = None
+    if not os.environ.get("PEARS_BENCH_SKIP_SCALING"):
+        low = int(os.environ.get("PEARS_SCALE_LOW", "2"))
+        high = int(os.environ.get("PEARS_SCALE_HIGH", str(4 * low)))
+        t_lo, _ = timed_build(low, cpath, f"low{low}")
+        t_hi, _ = timed_build(high, cpath, f"sc{high}")
+        queries_sec[f"index_build_{low}core"] = round(t_lo, 3)
+        queries_sec[f"index_build_{high}core"] = round(t_hi, 3)
+        thr_low = built_docs / t_lo
+        thr_hi = built_docs / t_hi
+        eff = thr_hi / ((high / low) * thr_low)
+        scaling = {"cores_low": low, "cores_high": high,
+                   "throughput_low": round(thr_low, 1),
+                   "throughput_high": round(thr_hi, 1),
+                   "efficiency": round(eff, 3)}
+        log(f"scaling {low}->{high}: {thr_low:.0f} -> {thr_hi:.0f} docs/s, "
+            f"eff={eff:.2f}")
+
+    # ---- phase 3: query serving over the built index
+    from pears_lite_spark.corpus import gen_corpus, gen_query_set
+    from pears_lite_spark.index.build import read_index
+    from pears_lite_spark.search.bm25 import collect_term_dfs, search_blocks
+    from pears_lite_spark.vocab import get_vocab
+
+    spark = make_session(cpus)
+    try:
+        postings, stats = read_index(spark, f"/tmp/pears_bench_idx_high{cpus}")
+        postings = postings.persist()
+        postings.count()  # materialize cache
+        term_dfs = collect_term_dfs(postings)  # broadcast term dictionary
+        v = get_vocab()
+        qset = gen_query_set(gen_corpus(min(n_docs, 2000)))
+        qpieces = [v.encode_as_pieces(q) for q in qset]
+        qpieces = [p for p in qpieces if p]
+
+        # batch: all queries in one job (the scale path)
+        t0 = time.time()
+        n_res = search_blocks(postings, stats, qpieces, k=10,
+                              term_dfs=term_dfs).count()
+        t_batch = time.time() - t0
+        queries_sec["bm25_batch_60q"] = round(t_batch, 3)
+        log(f"batch {len(qpieces)} queries: {t_batch:.2f}s ({n_res} rows)")
+
+        # p50 single-query latency (sequential jobs, warm cache)
+        lat = []
+        for p in qpieces[:30]:
+            t0 = time.time()
+            search_blocks(postings, stats, [p], k=10,
+                          term_dfs=term_dfs).collect()
+            lat.append(time.time() - t0)
+        p50 = statistics.median(lat) * 1000
+        queries_sec["bm25_single_p50"] = round(statistics.median(lat), 4)
+        log(f"p50 single-query latency: {p50:.0f} ms")
+
+        # dedup + analysis ops over the sf documents table
+        from pears_lite_spark.dedup import lsh_candidate_pairs
+        from pears_lite_spark.functions.textstats import quality_scores
+        docs_tbl = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        t0 = time.time()
+        lsh_candidate_pairs(docs_tbl, num_hashes=8, bands=2).count()
+        queries_sec["minhash_lsh"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        quality_scores(docs_tbl).count()
+        queries_sec["quality_scores"] = round(time.time() - t0, 3)
+    finally:
+        spark.stop()
+
+    total = sum(queries_sec.values())
+    out = {
+        "metric": "index-build throughput + BM25 p50 latency + scaling efficiency",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries_sec,
+        "sf": float(sf),
+        "bench_corpus_docs": built_docs,
+        "index_docs_per_sec": round(thr_high, 1),
+        "bm25_p50_ms": round(p50, 1),
+        "scaling": scaling,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

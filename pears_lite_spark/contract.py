@@ -224,7 +224,8 @@ def q_spm_tokens(spark, sf_dir):
     from .index.build import tokenize_spm, with_doc_id
     pdf = gen_corpus(120)
     cdf = with_doc_id(spark.createDataFrame(pdf))
-    out = tokenize_spm(cdf.select("doc_id", "url", "text"))
+    out = tokenize_spm(cdf.select("doc_id", "url", "text"),
+                       id_cols=("doc_id", "url"))
     return out.select("url", F.size("tokens").alias("n_pieces"))
 
 

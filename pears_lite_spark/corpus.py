@@ -168,7 +168,13 @@ def gen_corpus(n_docs: int, seed: int = SEED) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
 
 
-def write_corpus_parquet(path: str, n_docs: int, seed: int = SEED) -> str:
+def write_corpus_parquet(path: str, n_docs: int, seed: int = SEED,
+                         docs_per_file: int = 2500) -> str:
+    """Write the corpus as a DIRECTORY of parquet files (~docs_per_file
+    each) — the shape a Common-Crawl-style snapshot actually has, and
+    what makes the scan splittable across executors without shuffling
+    the html payload."""
+    import os
     import pyarrow as pa
     import pyarrow.parquet as pq
     pdf = gen_corpus(n_docs, seed)
@@ -179,8 +185,13 @@ def write_corpus_parquet(path: str, n_docs: int, seed: int = SEED) -> str:
         ("text", pa.string()),
         ("lang", pa.string()),
     ])
-    pq.write_table(pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
-                   path)
+    os.makedirs(path, exist_ok=True)
+    nf = max(1, (n_docs + docs_per_file - 1) // docs_per_file)
+    for i in range(nf):
+        chunk = pdf.iloc[i * docs_per_file:(i + 1) * docs_per_file]
+        pq.write_table(
+            pa.Table.from_pandas(chunk, schema=schema, preserve_index=False),
+            os.path.join(path, f"part-{i:05d}.parquet"))
     return path
 
 

@@ -35,8 +35,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import codec
-from .build import (POSTING_SCHEMA, CorpusStats, _encode_group_factory,
-                    build_postings, corpus_stats)
+from .build import POSTING_SCHEMA, CorpusStats, build_postings, corpus_stats
 
 
 def _manifest_path(path: str, part: int) -> str:
@@ -163,10 +162,9 @@ def compact_index(postings: DataFrame, stats: CorpusStats,
         poss = [pos_l[i] for i in order] if has_pos else None
         blocks = codec.encode_postings(docs, tfs, dls, stats.avgdl,
                                        positions=poss, block_size=block_size)
-        term = pdf["term"].iloc[0]
         rows, i = [], 0
         for b in blocks:
-            rows.append((term_id, term, doc_range, b.block_id, b.first_doc,
+            rows.append((term_id, doc_range, b.block_id, b.first_doc,
                          b.last_doc, b.n, b.max_impact, b.docs, b.tfs,
                          codec.varint_encode(dls[i:i + b.n].astype(np.uint64)),
                          b.positions))

@@ -99,13 +99,26 @@ def bm25_impact(tf: np.ndarray, dl: np.ndarray, avgdl: float,
 
 def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
                     avgdl: float,
-                    positions: list[np.ndarray] | None = None,
+                    positions: "list[np.ndarray] | tuple[np.ndarray, np.ndarray] | None" = None,
                     block_size: int = BLOCK_SIZE) -> list[Block]:
-    """Chunk one term's postings (sorted by doc_id asc) into encoded blocks."""
+    """Chunk one term's postings (sorted by doc_id asc) into encoded
+    blocks. `positions` is either a per-doc list of arrays or the flat
+    form (lens, flat_sorted_positions) from the sort-based builder."""
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
     dls = np.asarray(dls, dtype=np.int64)
-    if doc_ids.size and np.any(np.diff(doc_ids) <= 0):
+    pos_flat = pos_lens = pos_starts = None
+    if isinstance(positions, tuple):
+        pos_lens = np.asarray(positions[0], dtype=np.int64)
+        pos_flat = np.asarray(positions[1], dtype=np.int64)
+        pos_starts = np.zeros(pos_lens.size + 1, dtype=np.int64)
+        np.cumsum(pos_lens, out=pos_starts[1:])
+        positions = None
+    # NB: monotonicity must be checked by element COMPARISON — np.diff
+    # overflows int64 when neighboring xxhash64 ids are > 2^63 apart
+    if doc_ids.size and np.any(doc_ids[1:] <= doc_ids[:-1]):
+        if pos_lens is not None:
+            raise ValueError("flat positions require pre-sorted doc_ids")
         order = np.argsort(doc_ids, kind="stable")
         doc_ids, tfs, dls = doc_ids[order], tfs[order], dls[order]
         if positions is not None:
@@ -120,16 +133,10 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
         deltas[1:] = (np.diff(d) - 1).astype(_U64)
         pos_bytes = None
         if positions is not None:
-            parts = []
-            for p in positions[lo:hi]:
-                p = np.asarray(p, dtype=np.int64)
-                stream = np.empty(p.size + 1, dtype=_U64)
-                stream[0] = p.size
-                if p.size:
-                    stream[1] = p[0]
-                    stream[2:] = np.diff(p).astype(_U64)
-                parts.append(varint_encode(stream))
-            pos_bytes = b"".join(parts)
+            pos_bytes = encode_positions(positions[lo:hi])
+        elif pos_lens is not None:
+            pos_bytes = encode_positions_flat(
+                pos_lens[lo:hi], pos_flat[pos_starts[lo]:pos_starts[hi]])
         blocks.append(Block(
             block_id=bi,
             first_doc=int(d[0]),
@@ -141,6 +148,45 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
             positions=pos_bytes,
         ))
     return blocks
+
+
+def encode_positions_flat(lens: np.ndarray, flat: np.ndarray) -> bytes:
+    """Encode per-doc position lists given as (run lengths, flattened
+    sorted positions) as ONE varint stream
+    [n_0, p_00, Δ…, n_1, p_10, Δ…, …] — a single vectorized varint call
+    per block instead of one per posting."""
+    lens = np.asarray(lens, dtype=np.int64)
+    if not lens.size:
+        return b""
+    total = int(lens.sum())
+    if total == 0:
+        return varint_encode(np.zeros(lens.size, dtype=_U64))
+    flat = np.asarray(flat, dtype=np.int64)
+    deltas = flat.copy()
+    deltas[1:] -= flat[:-1]
+    starts = np.empty(lens.size, dtype=np.int64)
+    starts[0] = 0
+    np.cumsum(lens[:-1], out=starts[1:])
+    nz = lens > 0
+    deltas[starts[nz]] = flat[starts[nz]]  # first position raw per doc
+    out = np.empty(lens.size + total, dtype=_U64)
+    cnt_idx = np.arange(lens.size) + starts
+    mask = np.ones(out.size, dtype=bool)
+    mask[cnt_idx] = False
+    out[cnt_idx] = lens.astype(_U64)
+    out[mask] = deltas.astype(_U64)
+    return varint_encode(out)
+
+
+def encode_positions(pos_list: list[np.ndarray]) -> bytes:
+    """List-of-arrays convenience wrapper over encode_positions_flat."""
+    if not len(pos_list):
+        return b""
+    lens = np.fromiter((len(p) for p in pos_list), dtype=np.int64,
+                       count=len(pos_list))
+    flat = (np.concatenate([np.asarray(p, dtype=np.int64) for p in pos_list])
+            if lens.sum() else np.empty(0, np.int64))
+    return encode_positions_flat(lens, flat)
 
 
 def decode_block_docs(docs: bytes, n: int) -> np.ndarray:

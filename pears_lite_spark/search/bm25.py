@@ -245,13 +245,16 @@ def _wand_group_factory(avgdl: float, k: int, k1: float, b: float):
 def search_blocks(postings: DataFrame, stats: CorpusStats,
                   queries: list[list[str]], k: int = 10,
                   k1: float = K1, b: float = B,
-                  n_buckets: int | None = None) -> DataFrame:
+                  n_buckets: int | None = None,
+                  term_dfs: dict[int, int] | None = None) -> DataFrame:
     """Batch top-k over the block index for many queries in ONE job.
 
     Returns (query_id, doc_id, score, rank). The posting scan is pruned
     to the query terms (term_bucket partition filter + term_id filter);
-    df/idf stats come from the block metadata itself (sum of n per term)
-    via a broadcast join; WAND runs per (query, doc_range).
+    df/idf stats come from `term_dfs` (the precollected term dictionary
+    — pass it for serving so each query is a single scan+score job) or,
+    when absent, from the block metadata itself (sum of n per term) via
+    an extra aggregate; WAND runs per (query, doc_range).
     """
     from ..xxh64 import xxh64_signed
     spark = postings.sparkSession
@@ -261,7 +264,6 @@ def search_blocks(postings: DataFrame, stats: CorpusStats,
             qrows.append((qid, t, xxh64_signed(t)))
     if not qrows:
         return spark.createDataFrame([], schema=_SCORE_SCHEMA)
-    qdf = spark.createDataFrame(qrows, schema="query_id int, term string, term_id long")
     term_ids = sorted({r[2] for r in qrows})
 
     scan = postings.filter(F.col("term_id").isin(term_ids))
@@ -275,19 +277,36 @@ def search_blocks(postings: DataFrame, stats: CorpusStats,
         cols.append("part")
     scan = scan.select(*cols)
 
-    # df per term from block metadata (no second pass over the corpus)
-    dft = scan.groupBy("term_id").agg(F.sum("n").alias("df"))
     n_docs = stats.n_docs
-    qstats = (qdf.join(dft, "term_id", "left")
-              .withColumn("df", F.coalesce("df", F.lit(0)))
-              .withColumn("idf", F.log(
-                  (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)))
+    if term_dfs is not None:
+        qstats = spark.createDataFrame(
+            [(qid, tid, idf(n_docs, term_dfs.get(tid, 0)))
+             for qid, _, tid in qrows],
+            schema="query_id int, term_id long, idf double")
+    else:
+        # df per term from block metadata (no second pass over the corpus)
+        qdf = spark.createDataFrame(
+            qrows, schema="query_id int, term string, term_id long")
+        dft = scan.groupBy("term_id").agg(F.sum("n").alias("df"))
+        qstats = (qdf.join(dft, "term_id", "left")
+                  .withColumn("df", F.coalesce("df", F.lit(0)))
+                  .withColumn("idf", F.log(
+                      (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                      / (F.col("df") + 0.5) + 1.0))
+                  .select("query_id", "term_id", "idf"))
 
-    joined = scan.join(F.broadcast(qstats.select("query_id", "term_id", "idf")),
-                       "term_id")
+    joined = scan.join(F.broadcast(qstats), "term_id")
     local = (joined.groupBy("query_id", "doc_range")
              .applyInPandas(_wand_group_factory(stats.avgdl, k, k1, b),
                             schema=_SCORE_SCHEMA))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (local.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def collect_term_dfs(postings: DataFrame) -> dict[int, int]:
+    """Precollect the term dictionary (term_id -> df) for serving —
+    16k terms is a few hundred KB, the broadcast-stats pattern of
+    SURVEY.md §3.1."""
+    return {int(r["term_id"]): int(r["df"]) for r in
+            postings.groupBy("term_id").agg(F.sum("n").alias("df")).collect()}

@@ -54,6 +54,7 @@ class Vocab:
         for p, lp in self.logprob.items():
             if p:
                 self._by_first.setdefault(p[0], []).append((p, lp))
+        self._word_cache: dict[str, list[str]] = {}
 
     @classmethod
     def load(cls, path: str | None = None) -> "Vocab":
@@ -84,8 +85,29 @@ class Vocab:
         return WORD_MARKER + text.replace(" ", WORD_MARKER)
 
     def encode_as_pieces(self, text: str) -> list[str]:
-        """Viterbi max-logprob segmentation of normalized text."""
-        s = self.normalize(text)
+        """Viterbi segmentation with an exact per-word cache.
+
+        No piece in the vocab contains an interior word marker (verified
+        property of the model), so the segmentation DP decomposes at
+        word boundaries: Viterbi(▁w1▁w2) == Viterbi(▁w1) + Viterbi(▁w2).
+        Zipf-distributed text then hits the cache almost always, turning
+        tokenization from O(chars·max_piece) into a dict lookup per word
+        (the reference instead reloads its model per call —
+        mk_page_vector.py:22)."""
+        words = text.lower().split()
+        out: list[str] = []
+        cache = self._word_cache
+        for w in words:
+            hit = cache.get(w)
+            if hit is None:
+                hit = self._viterbi(WORD_MARKER + w)
+                if len(cache) < 1_000_000:  # bound executor memory
+                    cache[w] = hit
+            out.extend(hit)
+        return out
+
+    def _viterbi(self, s: str) -> list[str]:
+        """Raw max-logprob segmentation of one normalized chunk."""
         n = len(s)
         if n == 0:
             return []

@@ -70,3 +70,20 @@ def test_zero_hit_query(index):
     postings, stats = index
     res = search_blocks(postings, stats, [["▁zzzznothere"]], k=10).toPandas()
     assert len(res) == 0
+
+
+def test_hot_term_salting_equivalence(spm_tokens_df, oracle_docs,
+                                      query_pieces):
+    """Force a fine doc_range salt (8 ranges at 240 docs) and verify
+    WAND results are identical to the single-range build."""
+    from pyspark.sql import functions as F
+    postings, stats = build_postings(spm_tokens_df, range_shift=61)
+    postings = postings.persist()
+    n_ranges = postings.select("doc_range").distinct().count()
+    assert n_ranges > 1  # salting actually engaged
+    queries = [p for _, p in query_pieces[:8]]
+    res = search_blocks(postings, stats, queries, k=10).toPandas()
+    for qid, (q, pieces) in enumerate(query_pieces[:8]):
+        exp = bm25_topk_oracle(oracle_docs, pieces, 10)
+        sub = res[res.query_id == qid].sort_values("rank")
+        assert [int(d) for d in sub["doc_id"]] == [d for d, _ in exp], q

@@ -72,3 +72,22 @@ def test_negative_doc_ids():
     got = np.concatenate([codec.decode_block_docs(b.docs, b.n)
                           for b in blocks])
     assert np.array_equal(got, docs)
+
+
+def test_wide_gap_doc_ids_no_overflow_false_positive():
+    """Neighboring xxhash64 ids can differ by > 2^63; np.diff wraps but
+    encode/decode must stay consistent and the sort check must not
+    false-trigger (regression for an int64-overflow bug)."""
+    docs = np.array([-9_000_000_000_000_000_000, 8_900_000_000_000_000_000],
+                    dtype=np.int64)
+    tfs = np.array([2, 3])
+    dls = np.array([10, 20])
+    poss = (tfs, np.array([1, 5, 2, 4, 9], dtype=np.int64))
+    blocks = codec.encode_postings(docs, tfs, dls, 15.0, positions=poss,
+                                   block_size=128)
+    assert len(blocks) == 1
+    b = blocks[0]
+    assert np.array_equal(codec.decode_block_docs(b.docs, 2), docs)
+    assert np.array_equal(codec.decode_block_tfs(b.tfs, 2), tfs)
+    got = codec.decode_block_positions(b.positions, 2)
+    assert np.array_equal(got[0], [1, 5]) and np.array_equal(got[1], [2, 4, 9])
