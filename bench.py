@@ -148,34 +148,32 @@ def main():
     # ---- phase 3: query serving over the built index
     from pears_lite_spark.corpus import gen_corpus, gen_query_set
     from pears_lite_spark.index.build import read_index
-    from pears_lite_spark.search.bm25 import collect_term_dfs, search_blocks
+    from pears_lite_spark.search.bm25 import Searcher
     from pears_lite_spark.vocab import get_vocab
 
     spark = make_session(cpus)
     try:
         postings, stats = read_index(spark, f"/tmp/pears_bench_idx_high{cpus}")
-        postings = postings.persist()
-        postings.count()  # materialize cache
-        term_dfs = collect_term_dfs(postings)  # broadcast term dictionary
+        searcher = Searcher(postings, stats)  # doc_range-partitioned cache
         v = get_vocab()
         qset = gen_query_set(gen_corpus(min(n_docs, 2000)))
         qpieces = [v.encode_as_pieces(q) for q in qset]
         qpieces = [p for p in qpieces if p]
 
+        searcher.search([qpieces[0]], k=10)  # warm the serving path
         # batch: all queries in one job (the scale path)
         t0 = time.time()
-        n_res = search_blocks(postings, stats, qpieces, k=10,
-                              term_dfs=term_dfs).count()
+        res = searcher.search(qpieces, k=10)
         t_batch = time.time() - t0
         queries_sec["bm25_batch_60q"] = round(t_batch, 3)
-        log(f"batch {len(qpieces)} queries: {t_batch:.2f}s ({n_res} rows)")
+        log(f"batch {len(qpieces)} queries: {t_batch:.2f}s "
+            f"({sum(len(r) for r in res)} rows)")
 
         # p50 single-query latency (sequential jobs, warm cache)
         lat = []
         for p in qpieces[:30]:
             t0 = time.time()
-            search_blocks(postings, stats, [p], k=10,
-                          term_dfs=term_dfs).collect()
+            searcher.search([p], k=10)
             lat.append(time.time() - t0)
         p50 = statistics.median(lat) * 1000
         queries_sec["bm25_single_p50"] = round(statistics.median(lat), 4)

@@ -310,3 +310,97 @@ def collect_term_dfs(postings: DataFrame) -> dict[int, int]:
     SURVEY.md §3.1."""
     return {int(r["term_id"]): int(r["df"]) for r in
             postings.groupBy("term_id").agg(F.sum("n").alias("df")).collect()}
+
+
+class Searcher:
+    """Serving-optimized index handle: scatter-gather top-k.
+
+    Build-time layout is term_bucket-partitioned (good for bulk scans);
+    serving re-partitions the cached postings by doc_range so every
+    partition holds whole doc ranges. A query then needs NO shuffle:
+    one mapInArrow pass runs WAND per (query, doc_range) locally and the
+    driver merges the tiny per-range top-k lists — the same
+    scatter-gather shape a distributed search cluster uses (query fans
+    out to document shards, coordinator merges).
+    """
+
+    def __init__(self, postings: DataFrame, stats: CorpusStats,
+                 term_dfs: dict[int, int] | None = None,
+                 n_partitions: int | None = None,
+                 k1: float = K1, b: float = B):
+        self.stats = stats
+        self.k1, self.b = k1, b
+        self._has_part = "part" in postings.columns
+        cols = ["term_id", "doc_range", "block_id", "first_doc",
+                "last_doc", "n", "max_impact", "docs", "tfs", "dls"]
+        if self._has_part:
+            cols.append("part")
+        spark = postings.sparkSession
+        n_partitions = n_partitions or spark.sparkContext.defaultParallelism
+        self.df = (postings.select(*cols)
+                   .repartition(n_partitions, "doc_range").persist())
+        self.df.count()
+        self.term_dfs = term_dfs if term_dfs is not None else \
+            collect_term_dfs(self.df)
+
+    def search(self, queries: list[list[str]], k: int = 10) -> list[list[tuple[int, float]]]:
+        """Top-k per query: [(doc_id, score) ranked] per input query."""
+        import pyarrow as pa
+        from ..xxh64 import xxh64_signed
+        n_docs = self.stats.n_docs
+        qmaps: list[dict[int, float]] = []
+        for terms in queries:
+            tids = {xxh64_signed(t) for t in set(terms)}
+            qmaps.append({tid: idf(n_docs, self.term_dfs.get(tid, 0))
+                          for tid in tids if self.term_dfs.get(tid, 0) > 0})
+        all_tids = sorted({t for m in qmaps for t in m})
+        if not all_tids:
+            return [[] for _ in queries]
+        avgdl, k1, b, has_part = self.stats.avgdl, self.k1, self.b, self._has_part
+        out_schema = "query_id int, doc_id long, score double"
+
+        def kernel(batches):
+            rows: dict = {}  # (range, term_id, part) -> list[block tuple]
+            for rb in batches:
+                d = rb.to_pydict()
+                parts = d["part"] if has_part else [0] * rb.num_rows
+                for i in range(rb.num_rows):
+                    key = (d["doc_range"][i], d["term_id"][i], parts[i])
+                    rows.setdefault(key, []).append(
+                        (d["block_id"][i], d["first_doc"][i],
+                         d["last_doc"][i], d["n"][i], d["max_impact"][i],
+                         d["docs"][i], d["tfs"][i], d["dls"][i]))
+            by_range: dict = {}
+            for (rng, tid, part), blocks in rows.items():
+                blocks.sort(key=lambda t: t[0])
+                by_range.setdefault(rng, {}).setdefault(tid, []).append(
+                    [(f, l, n_, mx, db, tb, lb)
+                     for _, f, l, n_, mx, db, tb, lb in blocks])
+            qids, dids, scores = [], [], []
+            for rng, terms_here in by_range.items():
+                for qid, qmap in enumerate(qmaps):
+                    term_lists = []
+                    for tid, idf_ in qmap.items():
+                        for lst in terms_here.get(tid, []):
+                            term_lists.append({"idf": idf_, "blocks": lst})
+                    if not term_lists:
+                        continue
+                    for did, sc in wand_topk(term_lists, k, avgdl, k1, b):
+                        qids.append(qid)
+                        dids.append(did)
+                        scores.append(sc)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(qids, pa.int32()), pa.array(dids, pa.int64()),
+                 pa.array(scores, pa.float64())],
+                names=["query_id", "doc_id", "score"])
+
+        local = (self.df.filter(F.col("term_id").isin(all_tids))
+                 .mapInArrow(kernel, schema=out_schema).collect())
+        merged: list[list[tuple[int, float]]] = [[] for _ in queries]
+        for r in local:
+            merged[r["query_id"]].append((r["doc_id"], r["score"]))
+        out = []
+        for cand in merged:
+            cand.sort(key=lambda t: (-t[1], t[0]))
+            out.append(cand[:k])
+        return out

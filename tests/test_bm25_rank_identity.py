@@ -87,3 +87,19 @@ def test_hot_term_salting_equivalence(spm_tokens_df, oracle_docs,
         exp = bm25_topk_oracle(oracle_docs, pieces, 10)
         sub = res[res.query_id == qid].sort_values("rank")
         assert [int(d) for d in sub["doc_id"]] == [d for d, _ in exp], q
+
+
+def test_searcher_scatter_gather_rank_identity(index, oracle_docs,
+                                               query_pieces):
+    """The serving path (doc_range-partitioned cache, one mapInArrow
+    stage, driver merge) must match the oracle exactly."""
+    from pears_lite_spark.search.bm25 import Searcher
+    postings, stats = index
+    s = Searcher(postings, stats)
+    queries = [p for _, p in query_pieces]
+    res = s.search(queries, k=10)
+    for (q, pieces), got in zip(query_pieces, res):
+        exp = bm25_topk_oracle(oracle_docs, pieces, 10)
+        assert [d for d, _ in got] == [d for d, _ in exp], q
+        for (gd, gs), (ed, es) in zip(got, exp):
+            assert gs == pytest.approx(es, abs=1e-6), q
