@@ -215,6 +215,97 @@ def q_events_hourly(spark, sf_dir):
                  F.round(F.sum("value"), 4).alias("sum_value_r")))
 
 
+def q_bfs_reach(spark, sf_dir):
+    """S5: crawler-frontier BFS as iterative anti-joins over a graph
+    derived from orders/lineitem (customer -> order -> part, namespaced
+    node ids); oracle is a recursive CTE."""
+    from .sources import bfs_frontier
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e1 = orders.select((F.col("o_custkey") * 3).alias("src"),
+                       (F.col("o_orderkey") * 3 + 1).alias("dst"))
+    e2 = li.select((F.col("l_orderkey") * 3 + 1).alias("src"),
+                   (F.col("l_partkey") * 3 + 2).alias("dst"))
+    edges = e1.unionByName(e2)
+    seeds = (orders.filter(F.col("o_custkey") < 5)
+             .select((F.col("o_custkey") * 3).alias("node")).distinct())
+    out = bfs_frontier(edges, seeds, max_depth=3)
+    return out.select("node", F.col("depth").cast("long").alias("depth"))
+
+
+def q_doc_neighbours(spark, sf_dir):
+    """C9: nearest-neighbour docs of doc 0 by token-tf cosine, top 50."""
+    from .search.parity import cosine_scores
+    toks = _tokens(spark, sf_dir)
+    qtokens = toks.filter(F.col("doc_id") == 0).collect()[0]["tokens"]
+    out = cosine_scores(toks, list(qtokens))
+    return (out.select("doc_id", F.round("cosine", 6).alias("cosine_r"),
+                       F.col("cosine").alias("_c"))
+            .orderBy(F.desc("_c"), F.asc("doc_id")).limit(50).drop("_c"))
+
+
+def q_pod_rank(spark, sf_dir):
+    """K2/K3: pod (source) ranking by cosine of the query tf-vector vs
+    pod summary vectors (`score_pods`, pod_finder top-10)."""
+    from collections import Counter
+    toks = (_tokens(spark, sf_dir)
+            .join(_docs(spark, sf_dir).select("doc_id", "source"), "doc_id"))
+    ptf = (toks.select("source", F.explode("tokens").alias("term"))
+           .groupBy("source", "term").agg(F.count("*").alias("c")))
+    qc = Counter(COSINE_QUERY)
+    qn = sum(v * v for v in qc.values()) ** 0.5
+    qdf = spark.createDataFrame(sorted(qc.items()), "term string, qtf long")
+    pn = ptf.groupBy("source").agg(F.sqrt(F.sum(F.col("c") ** 2)).alias("pn"))
+    dot = (ptf.join(F.broadcast(qdf), "term")
+           .groupBy("source")
+           .agg(F.sum(F.col("c") * F.col("qtf") / qn).alias("dot")))
+    out = (dot.join(pn, "source")
+           .select("source", (F.col("dot") / F.col("pn")).alias("cos")))
+    return (out.select("source", F.round("cos", 6).alias("cos_r"),
+                       F.col("cos").alias("_c"))
+            .orderBy(F.desc("_c"), F.asc("source")).limit(10).drop("_c"))
+
+
+def q_wta_l2(spark, sf_dir):
+    """T3+T4+T5: deterministic term weighting (tf * w^5 with
+    w = ln(len(term)+2)), winner-take-all top-3 per doc, L2 normalize."""
+    from .search.parity import l2_normalize, logprob_weight, wta_topk
+    tok = _tokens(spark, sf_dir).select(
+        "doc_id", F.explode("tokens").alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    weights = (tf.select("term").distinct()
+               .withColumn("logprob", F.log(F.length("term") + 2.0)))
+    w = logprob_weight(tf, weights, power=5)
+    kept = wta_topk(w, 3)
+    out = l2_normalize(kept)
+    return out.select("doc_id", "term", F.round("w", 6).alias("w_r"))
+
+
+def q_combined_rank(spark, sf_dir):
+    """A5+K1: the reference's combined document score — phrase match +
+    completeness + snippet overlap, +1 bonus when the snippet score is
+    exactly 1 (`score_pages.py:101-113`), then best-50 with score > 0
+    (`score_pages.py:117-135`)."""
+    from .search.parity import completeness, phrase_match, snippet_overlap
+    toks = _tokens(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    phr = phrase_match(toks, PHRASE).withColumn("p", F.lit(1.0))
+    comp = completeness(toks, PHRASE)
+    snip = snippet_overlap(docs, " ".join(PHRASE))
+    combined = (docs.select("doc_id")
+                .join(phr, "doc_id", "left")
+                .join(comp, "doc_id", "left")
+                .join(snip, "doc_id", "left")
+                .select("doc_id",
+                        (F.coalesce("p", F.lit(0.0))
+                         + F.coalesce("completeness", F.lit(0.0))
+                         + F.coalesce("overlap", F.lit(0.0))
+                         + F.when(F.col("overlap") == 1.0, 1.0)
+                         .otherwise(0.0)).alias("score")))
+    return (combined.filter(F.col("score") > 0)
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(50))
+
+
 # ------------------------------------------------------- rows-only queries
 
 def q_spm_tokens(spark, sf_dir):
@@ -258,6 +349,59 @@ def q_media_features(spark, sf_dir):
     return extract_features_df(synth_media(spark, 48))
 
 
+def q_url_list_scan(spark, sf_dir):
+    """S1: url;keyword;lang list parse with defaults (rows-only)."""
+    import os
+    import tempfile
+    from .sources import read_url_list
+    path = os.path.join(tempfile.gettempdir(), "pears_urls.txt")
+    with open(path, "w") as fh:
+        fh.write("https://a.example/x;news;en\n"
+                 "https://b.example/y;;de\n"
+                 "https://c.example/z\n"
+                 "\n"
+                 "https://d.example/w;blog\n")
+    return read_url_list(spark, path)
+
+
+def q_link_extract(spark, sf_dir):
+    """S6: href extraction + absolutization over the synthetic html
+    corpus (rows-only)."""
+    from .corpus import gen_corpus
+    from .sources import extract_links_df
+    cdf = spark.createDataFrame(gen_corpus(60))
+    return extract_links_df(cdf)
+
+
+def q_phrase_c6_scores(spark, sf_dir):
+    """C6: positional subword-adjacency phrase scoring straight from the
+    block index's encoded positions (rows-only; pytest holds the
+    oracle)."""
+    from .corpus import PHRASES, gen_corpus
+    from .index.build import build_postings, tokenize_spm, with_doc_id
+    from .search.phrase import phrase_scores_from_index
+    from .vocab import get_vocab
+    pdf = gen_corpus(240)
+    cdf = with_doc_id(spark.createDataFrame(pdf))
+    toks = tokenize_spm(cdf.select("doc_id", "text")).select("doc_id",
+                                                             "tokens")
+    postings, stats = build_postings(toks)
+    pieces = get_vocab().encode_as_pieces(PHRASES[0])
+    return phrase_scores_from_index(postings, pieces)
+
+
+def q_csv_docs(spark, sf_dir):
+    """S10: csv rows -> pseudo-documents (rows-only)."""
+    import os
+    import tempfile
+    from .sources import csv_to_docs
+    path = os.path.join(tempfile.gettempdir(), "pears_csv.csv")
+    with open(path, "w") as fh:
+        fh.write("name;city;notes\nada;london;math\n"
+                 "grace;arlington;compilers\nalan;london;logic\n")
+    return csv_to_docs(spark, path, "people.csv")
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs (bucketed, threshold 0.9)."""
     from .dedup import embedding_near_dup_pairs
@@ -289,11 +433,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pod_counts": q_pod_counts,
         "pod_top_terms": q_pod_top_terms,
         "events_hourly": q_events_hourly,
+        "bfs_reach": q_bfs_reach,
+        "doc_neighbours": q_doc_neighbours,
+        "pod_rank": q_pod_rank,
+        "wta_l2": q_wta_l2,
+        "combined_rank": q_combined_rank,
         "spm_tokens": q_spm_tokens,
         "extract_parity": q_extract_parity,
         "ann_lsh_top10": q_ann_lsh_top10,
         "media_features": q_media_features,
         "embedding_near_dups": q_embedding_near_dups,
+        "url_list_scan": q_url_list_scan,
+        "link_extract": q_link_extract,
+        "phrase_c6_scores": q_phrase_c6_scores,
+        "csv_docs": q_csv_docs,
     }
 
 
@@ -528,4 +681,89 @@ SELECT source, term, cnt, rnk::BIGINT AS rnk FROM r WHERE rnk <= 3""",
 SELECT event_type, date_trunc('hour', ts) AS hour,
        count(*)::BIGINT AS n, round(sum(value), 4) AS sum_value_r
 FROM events GROUP BY 1, 2""",
+
+        "bfs_reach": """
+WITH RECURSIVE e AS (
+  SELECT o_custkey * 3 AS src, o_orderkey * 3 + 1 AS dst FROM orders
+  UNION ALL
+  SELECT l_orderkey * 3 + 1, l_partkey * 3 + 2 FROM lineitem),
+r AS (
+  SELECT DISTINCT o_custkey * 3 AS node, 0 AS depth FROM orders
+  WHERE o_custkey < 5
+  UNION ALL
+  SELECT e.dst, r.depth + 1 FROM r JOIN e ON e.src = r.node
+  WHERE r.depth < 3)
+SELECT node::BIGINT AS node, min(depth)::BIGINT AS depth
+FROM r GROUP BY node""",
+
+        "doc_neighbours": f"""
+WITH tok AS ({_TOK_SQL}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS c FROM tok GROUP BY 1, 2),
+q AS (SELECT term, c AS qc FROM tf WHERE doc_id = 0),
+qn AS (SELECT sqrt(sum(qc * qc)) AS qn FROM q),
+dn AS (SELECT doc_id, sqrt(sum(c * c)) AS dn FROM tf GROUP BY doc_id),
+dot AS (SELECT tf.doc_id, sum(tf.c * q.qc) AS dot
+        FROM tf JOIN q USING (term) GROUP BY tf.doc_id)
+SELECT doc_id, round(dot / (dn * qn.qn), 6) AS cosine_r
+FROM dot JOIN dn USING (doc_id), qn
+ORDER BY dot / (dn * qn.qn) DESC, doc_id LIMIT 50""",
+
+        "pod_rank": f"""
+WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term
+             FROM documents WHERE text IS NOT NULL),
+ptf AS (SELECT source, term, count(*)::DOUBLE AS c FROM tok GROUP BY 1, 2),
+q AS (SELECT unnest(ARRAY[{", ".join(repr(t) for t in sorted(set(COSINE_QUERY)))}]) AS term,
+             1.0 AS qtf),
+qn AS (SELECT sqrt(sum(qtf * qtf)) AS qn FROM q),
+pn AS (SELECT source, sqrt(sum(c * c)) AS pn FROM ptf GROUP BY source),
+dot AS (SELECT ptf.source, sum(ptf.c * q.qtf / (SELECT qn FROM qn)) AS dot
+        FROM ptf JOIN q USING (term) GROUP BY ptf.source)
+SELECT source, round(dot / pn, 6) AS cos_r
+FROM dot JOIN pn USING (source)
+ORDER BY dot / pn DESC, source LIMIT 10""",
+
+        "wta_l2": f"""
+WITH tok AS ({_TOK_SQL}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+w AS (SELECT doc_id, term,
+             tf * power(ln(length(term) + 2.0), 5) AS w FROM tf),
+kept AS (SELECT doc_id, term, w,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY w DESC, term) AS rn
+         FROM w),
+k3 AS (SELECT doc_id, term, w FROM kept WHERE rn <= 3),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM k3 GROUP BY doc_id)
+SELECT k3.doc_id, k3.term, round(k3.w / nrm.nrm, 6) AS w_r
+FROM k3 JOIN nrm USING (doc_id)""",
+
+        "combined_rank": f"""
+WITH tok AS ({_TOK_SQL}),
+t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+p AS (SELECT doc_id, unnest(toks) AS term,
+             generate_subscripts(toks, 1) AS i FROM t),
+phr AS (SELECT DISTINCT a.doc_id, 1.0 AS p FROM p a JOIN p b
+          ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'),
+comp AS (SELECT doc_id,
+           count(DISTINCT term) / {float(len(set(PHRASE)))} AS completeness
+         FROM tok WHERE term IN ({_in_list(PHRASE)}) GROUP BY doc_id),
+sw AS (SELECT doc_id,
+         unnest(list_filter(string_split_regex(
+             regexp_replace(lower(substr(text, 1, 300)), '[^\\w\\s]', '', 'g'),
+             '\\s+'), x -> x <> '')) AS w
+       FROM documents),
+snip AS (SELECT doc_id,
+           count(DISTINCT CASE WHEN w IN ({_in_list(PHRASE)}) THEN w END)
+           / {float(len(set(PHRASE)))} AS overlap
+         FROM sw GROUP BY doc_id),
+sc AS (SELECT d.doc_id,
+         coalesce(phr.p, 0.0) + coalesce(comp.completeness, 0.0)
+         + coalesce(snip.overlap, 0.0)
+         + (CASE WHEN snip.overlap = 1.0 THEN 1.0 ELSE 0.0 END) AS score
+       FROM documents d
+       LEFT JOIN phr USING (doc_id)
+       LEFT JOIN comp USING (doc_id)
+       LEFT JOIN snip USING (doc_id))
+SELECT doc_id, score FROM sc WHERE score > 0
+ORDER BY score DESC, doc_id LIMIT 50""",
     }

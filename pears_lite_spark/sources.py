@@ -1,0 +1,125 @@
+"""Source / sink operators from the reference's ingestion surface
+(SURVEY.md §2.1), re-expressed as Spark reads + column algebra.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+DEFAULT_LANG = "en"
+
+
+def read_url_list(spark: SparkSession, path: str,
+                  default_kwd: str = "home",
+                  default_lang: str = DEFAULT_LANG) -> DataFrame:
+    """S1: parse `url;keyword;lang` lines with defaults for missing
+    fields (`/root/reference/app/utils.py:41-69`): a csv read plus
+    coalesce — no imperative loop."""
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("keyword", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ])
+    df = spark.read.csv(path, sep=";", schema=schema)
+    return (df.filter(F.col("url").isNotNull() & (F.trim("url") != ""))
+            .select(F.trim("url").alias("url"),
+                    F.coalesce(F.nullif(F.trim("keyword"), F.lit("")),
+                               F.lit(default_kwd)).alias("keyword"),
+                    F.coalesce(F.nullif(F.trim("lang"), F.lit("")),
+                               F.lit(default_lang)).alias("lang")))
+
+
+_HREF_RE = re.compile(r"""<a\b[^>]*?href\s*=\s*["']([^"'#]+)["']""",
+                      re.IGNORECASE)
+
+
+def _urljoin(base: str, href: str) -> str:
+    from urllib.parse import urljoin
+    return urljoin(base, href)
+
+
+def extract_links_df(corpus_df: DataFrame) -> DataFrame:
+    """S6: `<a href>` extraction + absolutization + explode
+    (`/root/reference/app/indexer/htmlparser.py:54-75`) as an Arrow
+    batch kernel over the html column. Returns (url, link)."""
+    out_schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("link", T.StringType()),
+    ])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            us, ls = [], []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                text = (html.decode("utf-8", "replace")
+                        if isinstance(html, (bytes, bytearray)) else html)
+                for href in _HREF_RE.findall(text or ""):
+                    us.append(url)
+                    ls.append(_urljoin(url, href))
+            yield pd.DataFrame({"url": us, "link": ls})
+
+    return corpus_df.select("url", "html").mapInPandas(kernel, out_schema)
+
+
+def bfs_frontier(edges_df: DataFrame, seeds_df: DataFrame,
+                 max_depth: int = 3) -> DataFrame:
+    """S5: the crawler's frontier loop (`/root/reference/app/indexer/
+    spider.py:37-58`) as iterative DataFrame joins: visited-set
+    dedup == left_anti join; one shuffle per level, not per page.
+    edges (src, dst), seeds (node) -> (node, depth of first reach)."""
+    visited = seeds_df.select(F.col("node"),
+                              F.lit(0).alias("depth"))
+    frontier = visited
+    for d in range(1, max_depth + 1):
+        nxt = (edges_df.join(frontier.select(F.col("node").alias("src")),
+                             "src")
+               .select(F.col("dst").alias("node")).distinct()
+               .join(visited.select("node"), "node", "left_anti")
+               .withColumn("depth", F.lit(d)))
+        nxt = nxt.persist()
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited
+
+
+def make_shareable_pod(docs_df: DataFrame, keyword: str,
+                       pod_col: str = "source") -> DataFrame:
+    """S15: pod share export rows `url;pod;lang`
+    (`/root/reference/app/orchard/mk_urls_file.py:16-27`)."""
+    return (docs_df.filter(F.col(pod_col) == keyword)
+            .select(F.concat_ws(";", F.col("doc_id").cast("string"),
+                                F.col(pod_col), F.col("lang"))
+                    .alias("line")))
+
+
+def subscribe_pod(docs_df: DataFrame, imported_df: DataFrame) -> DataFrame:
+    """S16: pod subscribe import — union new docs, existing urls win
+    (`/root/reference/app/pod_finder/controllers.py:158-212`), i.e.
+    left_anti dedup then unionByName."""
+    fresh = imported_df.join(docs_df.select("doc_id"), "doc_id",
+                             "left_anti")
+    return docs_df.unionByName(fresh)
+
+
+def csv_to_docs(spark: SparkSession, path: str,
+                source_name: str) -> DataFrame:
+    """S10: CSV rows -> pseudo-documents (`/root/reference/app/indexer/
+    controllers.py:224-262`): every row becomes url
+    `<source>#<title> [<rownum>]`, text = 'col: val. ' concatenation."""
+    df = spark.read.option("header", True).csv(path, sep=";")
+    cols = df.columns
+    body = F.concat_ws(" ", *[
+        F.concat(F.lit(f"{c}: "), F.coalesce(F.col(c), F.lit("")),
+                 F.lit(".")) for c in cols])
+    w_id = F.monotonically_increasing_id()
+    return df.select(
+        F.concat(F.lit(source_name + "#row ["), w_id.cast("string"),
+                 F.lit("]")).alias("url"),
+        body.alias("text"))

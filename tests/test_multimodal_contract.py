@@ -41,4 +41,5 @@ def test_contract_query_names_have_oracles_or_are_rowsonly():
     assert len(qs) >= 20
     # every oracle is non-empty SQL mentioning a registered table
     for name, sql in oracles.items():
-        assert any(t in sql for t in ("documents", "embeddings", "events")), name
+        assert any(t in sql for t in ("documents", "embeddings", "events",
+                                      "orders", "lineitem")), name

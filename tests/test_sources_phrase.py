@@ -1,0 +1,98 @@
+"""Source operators (S1/S5/S6/S10/S15/S16) + index-positions phrase
+scoring (C6 through the codec)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_read_url_list(spark, tmp_path):
+    from pears_lite_spark.sources import read_url_list
+    p = tmp_path / "urls.txt"
+    p.write_text("https://a/x;news;en\nhttps://b/y;;de\nhttps://c/z\n\n"
+                 "https://d/w;blog\n")
+    rows = {r["url"]: (r["keyword"], r["lang"])
+            for r in read_url_list(spark, str(p)).collect()}
+    assert rows["https://a/x"] == ("news", "en")
+    assert rows["https://b/y"] == ("home", "de")   # default keyword
+    assert rows["https://c/z"] == ("home", "en")   # both defaults
+    assert rows["https://d/w"] == ("blog", "en")   # default lang
+    assert len(rows) == 4
+
+
+def test_extract_links(spark):
+    from pears_lite_spark.sources import extract_links_df
+    html = (b"<html><body><a href='/rel'>r</a> "
+            b"<a href=\"https://other.example/abs\">a</a></body></html>")
+    df = spark.createDataFrame([("https://base.example/dir/page", html)],
+                               "url string, html binary")
+    links = sorted(r["link"] for r in extract_links_df(df).collect())
+    assert links == ["https://base.example/rel",
+                     "https://other.example/abs"]
+
+
+def test_bfs_frontier_first_reach_depth(spark):
+    from pears_lite_spark.sources import bfs_frontier
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3), (4, 5), (9, 1)],
+        "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["depth"]
+           for r in bfs_frontier(edges, seeds, max_depth=10).collect()}
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3}
+
+
+def test_share_and_subscribe(spark):
+    from pears_lite_spark.sources import make_shareable_pod, subscribe_pod
+    docs = spark.createDataFrame(
+        [(1, "t1", "en", "podA"), (2, "t2", "en", "podB")],
+        "doc_id long, text string, lang string, source string")
+    lines = [r["line"] for r in make_shareable_pod(docs, "podA").collect()]
+    assert lines == ["1;podA;en"]
+    imported = spark.createDataFrame(
+        [(2, "dup", "en", "podB"), (3, "t3", "de", "podC")],
+        "doc_id long, text string, lang string, source string")
+    merged = subscribe_pod(docs, imported)
+    got = {r["doc_id"]: r["text"] for r in merged.collect()}
+    assert got == {1: "t1", 2: "t2", 3: "t3"}  # existing rows win
+
+
+def test_csv_to_docs(spark, tmp_path):
+    from pears_lite_spark.sources import csv_to_docs
+    p = tmp_path / "x.csv"
+    p.write_text("a;b\n1;hello\n2;world\n")
+    rows = csv_to_docs(spark, str(p), "x.csv").collect()
+    assert len(rows) == 2
+    assert all("a: " in r["text"] and "b: " in r["text"] for r in rows)
+    assert all(r["url"].startswith("x.csv#row [") for r in rows)
+
+
+def test_phrase_scores_from_index_matches_oracle(spark, corpus_pdf,
+                                                 spm_tokens_df):
+    from pears_lite_spark.corpus import PHRASES
+    from pears_lite_spark.index.build import build_postings
+    from pears_lite_spark.search.parity import (group_subwords,
+                                                phrase_adjacency_score)
+    from pears_lite_spark.search.phrase import phrase_scores_from_index
+    from pears_lite_spark.vocab import get_vocab
+    v = get_vocab()
+    postings, stats = build_postings(spm_tokens_df)
+    docs = {r["doc_id"]: list(r["tokens"]) for r in spm_tokens_df.collect()}
+    for phrase in PHRASES[:3]:
+        pieces = v.encode_as_pieces(phrase)
+        words = group_subwords(pieces)
+        got = {r["doc_id"]: r["phrase_score"] for r in
+               phrase_scores_from_index(postings, pieces).collect()}
+        # oracle: same rule computed directly from token positions
+        exp = {}
+        pset = {p for w in words for p in w}
+        for d, toks in docs.items():
+            posmap = {}
+            for i, t in enumerate(toks):
+                if t in pset:
+                    posmap.setdefault(t, []).append(i)
+            if len(posmap) == len(pset):
+                exp[d] = phrase_adjacency_score(words, posmap)
+        assert got == pytest.approx(exp), phrase
+        assert any(s == 1.0 for s in got.values()), phrase  # planted doc
