@@ -25,9 +25,48 @@ AND_QUERY = ["window", "vector", "batch"]
 SNIPPET_QUERY = "spark join window"
 PHRASE = ["batch", "stream"]
 COSINE_QUERY = ["spark", "join"]
+URL_QUERY = "spark"
+PARSE_QUERIES = [
+    "spark join",
+    "best cheese -fr",
+    "?report annual",
+    "!news budget cuts",
+    "folder/path query",
+    "mix ?x !y end -de",
+    "trailing slash/ -en",
+    "!x",
+]
 
 _TOK_SQL = ("SELECT doc_id, unnest(string_split(text, ' ')) AS term "
             "FROM documents WHERE text IS NOT NULL")
+
+
+def _fixture_urls_file() -> str:
+    """url;keyword;lang list fixture — written by BOTH queries() and
+    oracle_sql() so the file exists whichever side the driver runs
+    first."""
+    import os
+    import tempfile
+    path = os.path.join(tempfile.gettempdir(), "pears_urls.txt")
+    with open(path, "w") as fh:
+        fh.write("https://a.example/x;news;en\n"
+                 "https://b.example/y;;de\n"
+                 "https://c.example/z\n"
+                 "\n"
+                 "https://d.example/w;blog\n")
+    return path
+
+
+def _fixture_csv_file() -> str:
+    """S10 fixture; rows pre-sorted by first column so Spark's file-order
+    row ids and the oracle's ORDER BY agree."""
+    import os
+    import tempfile
+    path = os.path.join(tempfile.gettempdir(), "pears_csv.csv")
+    with open(path, "w") as fh:
+        fh.write("name;city;notes\nada;london;math\n"
+                 "ben;arlington;compilers\ncara;london;logic\n")
+    return path
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -244,9 +283,9 @@ def q_doc_neighbours(spark, sf_dir):
             .orderBy(F.desc("_c"), F.asc("doc_id")).limit(50).drop("_c"))
 
 
-def q_pod_rank(spark, sf_dir):
-    """K2/K3: pod (source) ranking by cosine of the query tf-vector vs
-    pod summary vectors (`score_pods`, pod_finder top-10)."""
+def _pod_cosine(spark, sf_dir):
+    """(source, cos): cosine of the query tf-vector vs per-pod summary
+    term vectors — shared by pod_rank (K3) and top3_fallback (K2)."""
     from collections import Counter
     toks = (_tokens(spark, sf_dir)
             .join(_docs(spark, sf_dir).select("doc_id", "source"), "doc_id"))
@@ -259,11 +298,27 @@ def q_pod_rank(spark, sf_dir):
     dot = (ptf.join(F.broadcast(qdf), "term")
            .groupBy("source")
            .agg(F.sum(F.col("c") * F.col("qtf") / qn).alias("dot")))
-    out = (dot.join(pn, "source")
-           .select("source", (F.col("dot") / F.col("pn")).alias("cos")))
+    return (dot.join(pn, "source")
+            .select("source", (F.col("dot") / F.col("pn")).alias("cos")))
+
+
+def q_pod_rank(spark, sf_dir):
+    """K2/K3: pod (source) ranking by cosine of the query tf-vector vs
+    pod summary vectors (`score_pods`, pod_finder top-10)."""
+    out = _pod_cosine(spark, sf_dir)
     return (out.select("source", F.round("cos", 6).alias("cos_r"),
                        F.col("cos").alias("_c"))
             .orderBy(F.desc("_c"), F.asc("source")).limit(10).drop("_c"))
+
+
+def q_top3_fallback(spark, sf_dir):
+    """K2: the reference's top-3-pods-or-all rule (`score_pages.py:81-93`)
+    over the pod cosine scores."""
+    from .search.parity import pod_prune
+    scores = _pod_cosine(spark, sf_dir).select(
+        F.col("source").alias("pod"), F.col("cos").alias("score"))
+    out = pod_prune(scores, max_pods=3, min_score=0.01)
+    return out.select("pod", F.round("score", 6).alias("score_r"))
 
 
 def q_wta_l2(spark, sf_dir):
@@ -304,6 +359,79 @@ def q_combined_rank(spark, sf_dir):
                          .otherwise(0.0)).alias("score")))
     return (combined.filter(F.col("score") > 0)
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(50))
+
+
+def q_query_parse(spark, sf_dir):
+    """P1: query parse/rewrite (`utils.py:260-281`) as column algebra
+    over a table of query strings."""
+    from .search.parity import parse_query_df
+    qdf = spark.createDataFrame([(s,) for s in PARSE_QUERIES], "q string")
+    return parse_query_df(qdf)
+
+
+def q_url_overlap(spark, sf_dir):
+    """C4 `score_url_overlap`: char-set dice of query vs last url
+    segment (urls synthesized deterministically from source/doc_id
+    since the test table carries no url column)."""
+    from .search.parity import url_dice_overlap
+    docs = _docs(spark, sf_dir).withColumn(
+        "url", F.concat(F.lit("https://pears.example/"), F.col("source"),
+                        F.lit("/"), F.col("source"), F.lit("-"),
+                        F.col("doc_id").cast("string")))
+    out = url_dice_overlap(docs, URL_QUERY)
+    return out.select("doc_id", F.round("dice", 6).alias("dice_r"))
+
+
+def q_expert_threshold(spark, sf_dir):
+    """C8: cosine of one stored doc-vector (doc 1) vs all docs with
+    threshold 0.05 (`score_pages.py:30-43`)."""
+    from .search.parity import cosine_scores
+    toks = _tokens(spark, sf_dir)
+    qtokens = toks.filter(F.col("doc_id") == 1).collect()[0]["tokens"]
+    out = cosine_scores(toks, list(qtokens))
+    return (out.filter(F.col("cosine") >= 0.05)
+            .select("doc_id", F.round("cosine", 6).alias("cosine_r")))
+
+
+def q_pod_share_export(spark, sf_dir):
+    """S15: shareable-pod export lines `id;pod;lang`
+    (`mk_urls_file.py:16-27`) for the alphabetically-first pod."""
+    from .sources import make_shareable_pod
+    docs = _docs(spark, sf_dir)
+    kwd = docs.agg(F.min("source")).collect()[0][0]
+    return make_shareable_pod(docs, kwd)
+
+
+def q_dedup_insert(spark, sf_dir):
+    """P4: dedup-before-insert — incoming batch (odd doc_ids) anti-joined
+    against the existing snapshot (even doc_ids) on a content key
+    (`mk_page_vector.py:37,79`)."""
+    docs = _docs(spark, sf_dir)
+    key = F.substring("text", 1, 80).alias("k")
+    existing = docs.filter(F.col("doc_id") % 2 == 0).select(key)
+    incoming = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", key)
+    return (incoming.join(existing, "k", "left_anti")
+            .select("doc_id"))
+
+
+def q_delete_rebuild(spark, sf_dir):
+    """§2.10 deletes: index stats rebuilt minus a deleted doc set
+    (doc_id % 10 == 0) via filter/anti-join — no row renumbering, the
+    reference's rebuild loop (`api/controllers.py:62-106`) collapses to
+    a predicate."""
+    toks = _tokens(spark, sf_dir).filter(F.col("doc_id") % 10 != 0)
+    tok = toks.select("doc_id", F.explode("tokens").alias("term"))
+    return (tok.distinct().groupBy("term").agg(F.count("*").alias("df"))
+            .orderBy(F.desc("df"), F.asc("term")).limit(50))
+
+
+def q_snippets(spark, sf_dir):
+    """P8: snippet projection — first 300 chars, ',' -> '-'
+    (`htmlparser.py:109`)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.coalesce(F.translate(F.substring("text", 1, 300), ",", "-"),
+                   F.lit("")).alias("snippet"))
 
 
 # ------------------------------------------------------- rows-only queries
@@ -350,18 +478,9 @@ def q_media_features(spark, sf_dir):
 
 
 def q_url_list_scan(spark, sf_dir):
-    """S1: url;keyword;lang list parse with defaults (rows-only)."""
-    import os
-    import tempfile
+    """S1: url;keyword;lang list parse with defaults."""
     from .sources import read_url_list
-    path = os.path.join(tempfile.gettempdir(), "pears_urls.txt")
-    with open(path, "w") as fh:
-        fh.write("https://a.example/x;news;en\n"
-                 "https://b.example/y;;de\n"
-                 "https://c.example/z\n"
-                 "\n"
-                 "https://d.example/w;blog\n")
-    return read_url_list(spark, path)
+    return read_url_list(spark, _fixture_urls_file())
 
 
 def q_link_extract(spark, sf_dir):
@@ -391,21 +510,19 @@ def q_phrase_c6_scores(spark, sf_dir):
 
 
 def q_csv_docs(spark, sf_dir):
-    """S10: csv rows -> pseudo-documents (rows-only)."""
-    import os
-    import tempfile
+    """S10: csv rows -> pseudo-documents."""
     from .sources import csv_to_docs
-    path = os.path.join(tempfile.gettempdir(), "pears_csv.csv")
-    with open(path, "w") as fh:
-        fh.write("name;city;notes\nada;london;math\n"
-                 "grace;arlington;compilers\nalan;london;logic\n")
-    return csv_to_docs(spark, path, "people.csv")
+    return csv_to_docs(spark, _fixture_csv_file(), "people.csv")
 
 
 def q_embedding_near_dups(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (bucketed, threshold 0.9)."""
+    """Embedding-cosine near-dup pairs, exact verify path (the LSH
+    candidate-generation path is `method='lsh'`, recall-tested in
+    pytest); threshold 0.35 sits just under the synthetic corpus's max
+    pairwise cosine so the op returns matches at every sf."""
     from .dedup import embedding_near_dup_pairs
-    out = embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.9)
+    out = embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.35,
+                                   method="exact")
     return out.select("id_a", "id_b", F.round("cosine", 5).alias("cos_r"))
 
 
@@ -436,17 +553,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_reach": q_bfs_reach,
         "doc_neighbours": q_doc_neighbours,
         "pod_rank": q_pod_rank,
+        "top3_fallback": q_top3_fallback,
         "wta_l2": q_wta_l2,
         "combined_rank": q_combined_rank,
+        "query_parse": q_query_parse,
+        "url_overlap": q_url_overlap,
+        "expert_threshold": q_expert_threshold,
+        "pod_share_export": q_pod_share_export,
+        "dedup_insert": q_dedup_insert,
+        "delete_rebuild": q_delete_rebuild,
+        "snippets": q_snippets,
+        "embedding_near_dups": q_embedding_near_dups,
+        "url_list_scan": q_url_list_scan,
+        "csv_docs": q_csv_docs,
         "spm_tokens": q_spm_tokens,
         "extract_parity": q_extract_parity,
         "ann_lsh_top10": q_ann_lsh_top10,
         "media_features": q_media_features,
-        "embedding_near_dups": q_embedding_near_dups,
-        "url_list_scan": q_url_list_scan,
         "link_extract": q_link_extract,
         "phrase_c6_scores": q_phrase_c6_scores,
-        "csv_docs": q_csv_docs,
     }
 
 
@@ -766,4 +891,124 @@ sc AS (SELECT d.doc_id,
        LEFT JOIN snip USING (doc_id))
 SELECT doc_id, score FROM sc WHERE score > 0
 ORDER BY score DESC, doc_id LIMIT 50""",
+
+        "top3_fallback": """
+WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term
+             FROM documents WHERE text IS NOT NULL),
+ptf AS (SELECT source, term, count(*)::DOUBLE AS c FROM tok GROUP BY 1, 2),
+q AS (SELECT unnest(ARRAY[{qterms}]) AS term, 1.0 AS qtf),
+qn AS (SELECT sqrt(sum(qtf * qtf)) AS qn FROM q),
+pn AS (SELECT source, sqrt(sum(c * c)) AS pn FROM ptf GROUP BY source),
+dot AS (SELECT ptf.source, sum(ptf.c * q.qtf / (SELECT qn FROM qn)) AS dot
+        FROM ptf JOIN q USING (term) GROUP BY ptf.source),
+sc AS (SELECT source AS pod, dot / pn AS score
+       FROM dot JOIN pn USING (source)),
+r AS (SELECT pod, score,
+        row_number() OVER (ORDER BY score DESC, pod) AS rn,
+        max(score) OVER () AS mx
+      FROM sc)
+SELECT pod, round(score, 6) AS score_r FROM r
+WHERE mx < 0.01 OR rn <= 3""".format(
+            qterms=", ".join(repr(t) for t in sorted(set(COSINE_QUERY)))),
+
+        "query_parse": """
+WITH raw AS (SELECT unnest(ARRAY[{qlist}]) AS q),
+p AS (SELECT q,
+  CASE WHEN regexp_matches(q, '\\s-\\w+\\s*$')
+       THEN regexp_extract(q, '\\s-(\\w+)\\s*$', 1) ELSE '' END AS lang,
+  CASE WHEN regexp_matches(q, '\\s-\\w+\\s*$')
+       THEN regexp_extract(q, '(.*)\\s-\\w+\\s*$', 1) ELSE q END AS body
+  FROM raw),
+w AS (SELECT q, lang, body,
+  list_filter(string_split_regex(body, '\\s+'), x -> x <> '') AS words
+  FROM p),
+m AS (SELECT q, lang, body, words,
+  list_filter(words, x -> x LIKE '?%' OR x LIKE '!%') AS markers FROM w)
+SELECT q,
+  coalesce(array_to_string(list_transform(
+     list_filter(words, x -> x NOT LIKE '!%'),
+     x -> CASE WHEN x LIKE '?%' THEN substr(x, 2) ELSE x END), ' '), '')
+    AS clean,
+  CASE WHEN body LIKE '%/%' THEN 'doc'
+       WHEN len(markers) = 0 THEN ''
+       WHEN markers[-1] LIKE '?%' THEN 'ind'
+       ELSE substr(markers[-1], 2) END AS doctype,
+  lang
+FROM m""".format(qlist=", ".join(repr(s) for s in PARSE_QUERIES)),
+
+        "url_overlap": """
+WITH d AS (SELECT doc_id,
+             lower(source || '-' || doc_id::VARCHAR) AS seg
+           FROM documents),
+c AS (SELECT doc_id,
+        list_distinct(regexp_extract_all(seg, '(.)', 1)) AS sc FROM d)
+SELECT doc_id,
+  round(2.0 * len(list_intersect(sc, ARRAY[{qchars}]))
+        / (len(sc) + {nq}), 6) AS dice_r
+FROM c""".format(
+            qchars=", ".join(repr(ch) for ch in sorted(set(URL_QUERY.lower()))),
+            nq=len(set(URL_QUERY.lower()))),
+
+        "expert_threshold": f"""
+WITH tok AS ({_TOK_SQL}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS c FROM tok GROUP BY 1, 2),
+q AS (SELECT term, c AS qc FROM tf WHERE doc_id = 1),
+qn AS (SELECT sqrt(sum(qc * qc)) AS qn FROM q),
+dn AS (SELECT doc_id, sqrt(sum(c * c)) AS dn FROM tf GROUP BY doc_id),
+dot AS (SELECT tf.doc_id, sum(tf.c * q.qc) AS dot
+        FROM tf JOIN q USING (term) GROUP BY tf.doc_id)
+SELECT doc_id, round(dot / (dn * qn.qn), 6) AS cosine_r
+FROM dot JOIN dn USING (doc_id), qn
+WHERE dot / (dn * qn.qn) >= 0.05""",
+
+        "pod_share_export": """
+SELECT doc_id::VARCHAR || ';' || source || ';' || lang AS line
+FROM documents
+WHERE source = (SELECT min(source) FROM documents)""",
+
+        "dedup_insert": """
+SELECT i.doc_id FROM documents i
+WHERE i.doc_id % 2 = 1 AND NOT EXISTS (
+  SELECT 1 FROM documents e
+  WHERE e.doc_id % 2 = 0
+    AND substr(e.text, 1, 80) = substr(i.text, 1, 80))""",
+
+        "delete_rebuild": f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents WHERE text IS NOT NULL AND doc_id % 10 <> 0)
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok
+GROUP BY term ORDER BY df DESC, term LIMIT 50""",
+
+        "snippets": """
+SELECT doc_id,
+       coalesce(replace(substr(text, 1, 300), ',', '-'), '') AS snippet
+FROM documents""",
+
+        "embedding_near_dups": """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))) AS cosine
+      FROM v a JOIN v b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(cosine, 5) AS cos_r FROM p
+WHERE cosine >= 0.35""",
+
+        "url_list_scan": """
+SELECT trim(c0) AS url,
+       coalesce(nullif(trim(c1), ''), 'home') AS keyword,
+       coalesce(nullif(trim(c2), ''), 'en') AS lang
+FROM read_csv('{path}', delim=';', header=false,
+              columns={{'c0': 'VARCHAR', 'c1': 'VARCHAR', 'c2': 'VARCHAR'}},
+              null_padding=true, auto_detect=false)
+WHERE c0 IS NOT NULL AND trim(c0) <> ''""".format(path=_fixture_urls_file()),
+
+        "csv_docs": """
+SELECT 'people.csv#row [' || (row_number() OVER (ORDER BY name) - 1)::VARCHAR
+         || ']' AS url,
+       concat_ws(' ', 'name: ' || coalesce(name, '') || '.',
+                      'city: ' || coalesce(city, '') || '.',
+                      'notes: ' || coalesce(notes, '') || '.') AS text
+FROM read_csv('{path}', delim=';', header=true)""".format(
+            path=_fixture_csv_file()),
     }

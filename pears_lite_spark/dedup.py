@@ -136,32 +136,46 @@ def simhash_dup_groups(docs_df: DataFrame) -> DataFrame:
 
 def embedding_near_dup_pairs(emb_df: DataFrame, threshold: float = 0.95,
                              id_col: str = "vec_id",
-                             vec_col: str = "embedding") -> DataFrame:
+                             vec_col: str = "embedding",
+                             method: str = "lsh") -> DataFrame:
     """Embedding-cosine near-dup pairs above `threshold`.
 
-    Baseline form: block-nested join on a coarse LSH sign-prefix bucket
-    (first 4 hyperplane signs from deterministic axis pairs) to avoid the
-    full O(n^2) cross join; exact cosine verify inside buckets."""
+    method='lsh' (the 100 TB path): block-nested join on a coarse LSH
+    sign-prefix bucket (4 hyperplane signs from deterministic axis
+    pairs) so each vector is compared only within its bucket; exact
+    cosine verify inside buckets. Sound for near-identical vectors
+    (high thresholds), where sign bits agree w.h.p.
+
+    method='exact': full O(n^2) self-join with exact cosine — the
+    correctness oracle / verify stage; at scale run it only within
+    LSH-candidate buckets, never globally."""
     v = emb_df.select(F.col(id_col).alias("vid"),
                       F.transform(F.col(vec_col),
                                   lambda x: x.cast("double")).alias("v"))
-    # deterministic coarse bucket: signs of 4 fixed coordinate contrasts
-    def sign_bit(i, j, bit):
-        return F.when(F.element_at("v", i) - F.element_at("v", j) > 0,
-                      F.lit(1 << bit)).otherwise(F.lit(0))
-    bucket = (sign_bit(1, 33, 0) + sign_bit(2, 34, 1)
-              + sign_bit(3, 35, 2) + sign_bit(4, 36, 3))
-    v = v.withColumn("bucket", bucket)
-    a = v.select(F.col("vid").alias("id_a"), F.col("v").alias("va"), "bucket")
-    b = v.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    if method == "exact":
+        a = v.select(F.col("vid").alias("id_a"), F.col("v").alias("va"))
+        b = v.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"))
+        joined = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        # deterministic coarse bucket: signs of 4 fixed coordinate contrasts
+        def sign_bit(i, j, bit):
+            return F.when(F.element_at("v", i) - F.element_at("v", j) > 0,
+                          F.lit(1 << bit)).otherwise(F.lit(0))
+        bucket = (sign_bit(1, 33, 0) + sign_bit(2, 34, 1)
+                  + sign_bit(3, 35, 2) + sign_bit(4, 36, 3))
+        vb = v.withColumn("bucket", bucket)
+        a = vb.select(F.col("vid").alias("id_a"), F.col("v").alias("va"),
+                      "bucket")
+        b = vb.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"),
+                      "bucket")
+        joined = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
     dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
     na = F.sqrt(F.aggregate(F.transform("va", lambda x: x * x),
                             F.lit(0.0), lambda acc, x: acc + x))
     nb = F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x),
                             F.lit(0.0), lambda acc, x: acc + x))
-    return (a.join(b, "bucket")
-            .filter(F.col("id_a") < F.col("id_b"))
+    return (joined
             .withColumn("cosine", dot / (na * nb))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))

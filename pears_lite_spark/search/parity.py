@@ -43,6 +43,36 @@ def parse_query(q: str) -> tuple[str, str | None, str | None]:
     return " ".join(words), doctype, lang
 
 
+def parse_query_df(queries_df: DataFrame,
+                   q_col: str = "q") -> DataFrame:
+    """P1 as column algebra (same semantics as `parse_query`, so the
+    operator also runs distributed over a table of queries and is
+    SQL-expressible for the oracle). Missing doctype/lang -> ''."""
+    q = F.col(q_col)
+    has_lang = q.rlike(r"\s-\w+\s*$")
+    lang = F.when(has_lang, F.regexp_extract(q, r"\s-(\w+)\s*$", 1)) \
+            .otherwise(F.lit(""))
+    body = F.when(has_lang, F.regexp_extract(q, r"(.*)\s-\w+\s*$", 1)) \
+            .otherwise(q)
+    words = F.filter(F.split(body, r"\s+"), lambda x: x != "")
+    kept = F.transform(
+        F.filter(words, lambda x: ~x.startswith("!")),
+        lambda x: F.when(x.startswith("?"), F.substring(x, 2, 1 << 20))
+                   .otherwise(x))
+    markers = F.filter(words,
+                       lambda x: x.startswith("?") | x.startswith("!"))
+    last = F.try_element_at(markers, F.lit(-1))
+    doctype = (F.when(body.contains("/"), F.lit("doc"))
+               .when(F.size(markers) == 0, F.lit(""))
+               .when(last.startswith("?"), F.lit("ind"))
+               .otherwise(F.substring(last, 2, 1 << 20)))
+    return queries_df.select(
+        q.alias("q"),
+        F.array_join(kept, " ").alias("clean"),
+        doctype.alias("doctype"),
+        lang.alias("lang"))
+
+
 # --------------------------------------------------- J1: conjunctive AND
 
 def conjunctive_and(tokens_df: DataFrame, query_terms: list[str]) -> DataFrame:
@@ -107,6 +137,22 @@ def jaccard_dice(tokens_a: DataFrame, tokens_b: DataFrame) -> DataFrame:
             .select("doc_a", "doc_b",
                     (inter / F.size(F.array_union("set_a", "set_b"))).alias("jaccard"),
                     (2 * inter / (F.size("set_a") + F.size("set_b"))).alias("dice")))
+
+
+def url_dice_overlap(docs_df: DataFrame, query: str,
+                     url_col: str = "url") -> DataFrame:
+    """C4 `score_url_overlap` (`overlap_calculation.py:22-29`): dice
+    coefficient of CHARACTER sets — lowercased query vs the last path
+    segment of the url (trailing '/' stripped). Pure column algebra."""
+    qchars = sorted(set(query.lower()))
+    qarr = F.array(*[F.lit(c) for c in qchars])
+    seg = F.lower(F.substring_index(
+        F.regexp_replace(F.col(url_col), r"/+$", ""), "/", -1))
+    schars = F.array_distinct(F.regexp_extract_all(seg, F.lit("(.)"), 1))
+    inter = F.size(F.array_intersect(schars, qarr)).cast("double")
+    return docs_df.select(
+        "doc_id",
+        (2 * inter / (F.size(schars) + F.lit(len(qchars)))).alias("dice"))
 
 
 # ------------------------------------------------- C6: phrase adjacency

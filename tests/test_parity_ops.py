@@ -98,3 +98,56 @@ def test_cosine_scores(spark, toy_tokens):
     # doc 1: tf a=2,b=1,c=1; dot = (2+1)/sqrt(2); |d| = sqrt(6)
     assert got[1] == pytest.approx(3 / (2 ** 0.5) / (6 ** 0.5))
     assert 4 not in got
+
+
+def test_parse_query_df_matches_scalar(spark):
+    qs = ["black cat -fr", "?word rest", "!csvdoc find me",
+          "path/doc thing", "plain query", "!x", "mix ?x !y end -de"]
+    got = {r["q"]: (r["clean"], r["doctype"], r["lang"])
+           for r in parity.parse_query_df(
+               spark.createDataFrame([(s,) for s in qs], "q string")).collect()}
+    for q in qs:
+        clean, doctype, lang = parity.parse_query(q)
+        assert got[q] == (clean, doctype or "", lang or ""), q
+
+
+def test_url_dice_overlap_reference_formula(spark):
+    # reference: dice(set(query.lower()), set(last_segment.lower()))
+    df = spark.createDataFrame(
+        [(1, "https://x.example/a/spark-doc/"), (2, "https://x.example/zzz")],
+        "doc_id long, url string")
+    got = {r["doc_id"]: r["dice"] for r in
+           parity.url_dice_overlap(df, "spark").collect()}
+
+    def ref(q, url):
+        import re
+        url = url.rstrip("/")
+        m = re.search(r".*/([^/]+)", url)
+        seg = m.group(1) if m else url
+        a, b = set(q.lower()), set(seg.lower())
+        return 2 * len(a & b) / (len(a) + len(b))
+
+    assert got[1] == pytest.approx(ref("spark", "https://x.example/a/spark-doc/"))
+    assert got[2] == pytest.approx(ref("spark", "https://x.example/zzz"))
+
+
+def test_embedding_near_dup_exact_superset_of_lsh(spark):
+    import random
+    rnd = random.Random(7)
+    base = [rnd.gauss(0, 1) for _ in range(40)]
+    rows = []
+    for i in range(30):
+        if i % 3 == 0:  # near-dup of base
+            v = [x + rnd.gauss(0, 0.01) for x in base]
+        else:
+            v = [rnd.gauss(0, 1) for _ in range(40)]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from pears_lite_spark.dedup import embedding_near_dup_pairs
+    exact = {(r["id_a"], r["id_b"]) for r in
+             embedding_near_dup_pairs(df, 0.99, method="exact").collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           embedding_near_dup_pairs(df, 0.99, method="lsh").collect()}
+    assert lsh <= exact          # LSH never invents pairs
+    assert len(exact) == 45      # C(10,2) near-dup cluster
+    assert len(lsh) == 45        # sign-buckets agree for near-identical vecs
