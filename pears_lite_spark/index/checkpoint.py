@@ -47,10 +47,10 @@ def input_fingerprint(tokens_df: DataFrame, part_col: str = "build_part") -> dic
     cheap, content-addressed)."""
     rows = (tokens_df.groupBy(part_col)
             .agg(F.count("*").alias("n_docs"),
-                 F.sum(F.col("doc_id")).alias("sum_ids"))
+                 F.expr("bit_xor(doc_id)").alias("xor_ids"))
             .collect())
     return {int(r[part_col]): {"n_docs": int(r["n_docs"]),
-                               "sum_ids": int(r["sum_ids"])} for r in rows}
+                               "xor_ids": int(r["xor_ids"])} for r in rows}
 
 
 def build_resumable(tokens_df: DataFrame, path: str, n_parts: int = 8,

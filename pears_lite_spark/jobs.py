@@ -1,0 +1,179 @@
+"""spark-submit entrypoints: build / resume / query / compact.
+
+The north rule requires the pipeline to run "via spark-submit
+--py-files on multi-executor clusters". This module is that surface:
+
+    python tools/make_pyfiles.py                      # -> pears_lite_spark.zip
+    spark-submit --master <cluster> \
+        --py-files /tmp/pears_lite_spark.zip \
+        jobs/run_job.py build --input corpus/ --output idx/ --resume
+    spark-submit ... jobs/run_job.py query --index idx/ --queries qs.txt
+
+The SparkSession comes from spark-submit's conf (master, executor
+topology); `get_spark` defaults apply only when run standalone. Each
+subcommand prints ONE JSON metrics line on stdout (logs go to stderr),
+so a workflow engine can parse results.
+
+Contrast the reference's ingestion surface: a Flask POST handler
+indexing one URL per request with a full-index rewrite per doc
+(`/root/reference/app/indexer/controllers.py:159-184`,
+`posix.py:17-28`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _spark(app_name: str):
+    # under spark-submit the builder picks up the submitted conf; the
+    # session factory only fills gaps (AQE, Arrow, shuffle partitions)
+    from .session import get_spark
+    master = os.environ.get("PEARS_MASTER")  # standalone runs only
+    return get_spark(app_name=app_name, master=master)
+
+
+def _emit(obj: dict) -> None:
+    print(json.dumps(obj), flush=True)
+
+
+def _load_corpus_tokens(spark, path: str, tokenizer: str):
+    """Corpus parquet -> (doc_id, tokens). Accepts either the input-hint
+    schema (url, warc_ts, html, text, lang) — html is extracted+tokenized
+    in one Arrow pass — or a pre-extracted (doc_id|url, text) table."""
+    from pyspark.sql import functions as F
+    from .index.build import ingest_tokens, tokenize_spm, \
+        tokenize_whitespace, with_doc_id
+    df = spark.read.parquet(path)
+    cols = set(df.columns)
+    if "html" in cols:
+        return ingest_tokens(df, tokenizer=tokenizer).select(
+            "doc_id", "tokens")
+    if "doc_id" not in cols:
+        df = with_doc_id(df)
+    if tokenizer == "spm":
+        return tokenize_spm(df.select("doc_id", "text")).select(
+            "doc_id", "tokens")
+    return tokenize_whitespace(df).select("doc_id", "tokens")
+
+
+def cmd_build(args) -> int:
+    spark = _spark("pears-build")
+    t0 = time.time()
+    tokens = _load_corpus_tokens(spark, args.input, args.tokenizer)
+    if args.resume:
+        from .index.checkpoint import build_resumable, manifests
+        stats = build_resumable(tokens, args.output, n_parts=args.n_parts,
+                                with_positions=not args.no_positions)
+        ms = manifests(args.output)
+        n_blocks = sum(m["n_blocks"] for m in ms)
+        payload = sum(m["payload_bytes"] for m in ms)
+    else:
+        from .index.build import build_postings, write_index
+        postings, stats = build_postings(
+            tokens, with_positions=not args.no_positions)
+        write_index(postings, args.output, stats=stats,
+                    n_buckets=args.n_buckets)
+        n_blocks = payload = None
+    dt = time.time() - t0
+    _emit({"job": "build", "input": args.input, "output": args.output,
+           "resume": bool(args.resume), "n_docs": stats.n_docs,
+           "avgdl": round(stats.avgdl, 3), "seconds": round(dt, 2),
+           "docs_per_sec": round(stats.n_docs / dt, 1),
+           "n_blocks": n_blocks, "payload_bytes": payload})
+    return 0
+
+
+def _read_any_index(spark, path: str):
+    """Detect layout: resumable multi-part (manifest_*.json + part=N/)
+    vs single-segment bucketed (term_bucket=N/)."""
+    entries = os.listdir(path)
+    if any(e.startswith("manifest_") for e in entries):
+        from .index.checkpoint import read_resumable
+        return read_resumable(spark, path)
+    from .index.build import read_index
+    return read_index(spark, path)
+
+
+def cmd_query(args) -> int:
+    from .search.bm25 import Searcher
+    from .vocab import get_vocab
+    spark = _spark("pears-query")
+    t0 = time.time()
+    postings, stats = _read_any_index(spark, args.index)
+    with open(args.queries, encoding="utf-8") as fh:
+        raw = [ln.strip() for ln in fh if ln.strip()]
+    if args.tokenizer == "spm":
+        v = get_vocab()
+        queries = [v.encode_as_pieces(q) for q in raw]
+    else:
+        queries = [q.split() for q in raw]
+    searcher = Searcher(postings, stats)
+    t1 = time.time()
+    results = searcher.search(queries, k=args.k)
+    t2 = time.time()
+    _emit({"job": "query", "index": args.index, "n_queries": len(raw),
+           "k": args.k, "load_seconds": round(t1 - t0, 2),
+           "search_seconds": round(t2 - t1, 2),
+           "results": [
+               {"query": q, "hits": [
+                   {"doc_id": d, "score": round(s, 6)} for d, s in hits]}
+               for q, hits in zip(raw, results)]})
+    return 0
+
+
+def cmd_compact(args) -> int:
+    from .index.build import write_index
+    from .index.checkpoint import compact_index
+    spark = _spark("pears-compact")
+    t0 = time.time()
+    postings, stats = _read_any_index(spark, args.index)
+    merged = compact_index(postings, stats)
+    write_index(merged, args.output, stats=stats, n_buckets=args.n_buckets)
+    _emit({"job": "compact", "index": args.index, "output": args.output,
+           "seconds": round(time.time() - t0, 2)})
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(
+        prog="pears-jobs",
+        description="PySpark full-text engine jobs (spark-submit surface)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="corpus parquet -> block index")
+    b.add_argument("--input", required=True)
+    b.add_argument("--output", required=True)
+    b.add_argument("--tokenizer", default="spm", choices=["spm", "ws"])
+    b.add_argument("--resume", action="store_true",
+                   help="per-partition checkpointed build (skips "
+                        "partitions whose manifest matches the input)")
+    b.add_argument("--n-parts", type=int, default=8)
+    b.add_argument("--n-buckets", type=int, default=64)
+    b.add_argument("--no-positions", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query", help="BM25 top-k over a built index")
+    q.add_argument("--index", required=True)
+    q.add_argument("--queries", required=True,
+                   help="text file, one query per line")
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--tokenizer", default="spm", choices=["spm", "ws"])
+    q.set_defaults(fn=cmd_query)
+
+    c = sub.add_parser("compact", help="merge a multi-part index")
+    c.add_argument("--index", required=True)
+    c.add_argument("--output", required=True)
+    c.add_argument("--n-buckets", type=int, default=64)
+    c.set_defaults(fn=cmd_compact)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

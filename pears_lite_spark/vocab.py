@@ -58,24 +58,35 @@ class Vocab:
 
     @classmethod
     def load(cls, path: str | None = None) -> "Vocab":
+        text = None
         if path is None:
             for cand in _DEFAULT_PATHS:
                 if os.path.exists(cand):
                     path = cand
                     break
         if path is None or not os.path.exists(path):
-            raise FileNotFoundError(
-                f"no vocab file found (tried {list(_DEFAULT_PATHS)})")
+            # zip-safe fallback: when the package ships as a
+            # `spark-submit --py-files` zip, __file__ paths don't exist
+            # on disk; importlib.resources reads through zipimport.
+            try:
+                from importlib.resources import files
+                text = (files("pears_lite_spark") / "assets"
+                        / "vocab.16k.txt").read_text(encoding="utf-8")
+            except Exception:
+                raise FileNotFoundError(
+                    f"no vocab file found (tried {list(_DEFAULT_PATHS)} "
+                    "and package resources)")
+        if text is None:
+            with open(path, encoding="utf-8") as fh:
+                text = fh.read()
         pieces: list[tuple[str, float]] = []
-        with open(path, encoding="utf-8") as fh:
-            for line in fh:
-                line = line.rstrip("\n")
-                if not line:
-                    continue
-                piece, _, lp = line.partition("\t")
-                if piece in _SPECIAL:
-                    continue
-                pieces.append((piece, float(lp) if lp else 0.0))
+        for line in text.split("\n"):
+            if not line:
+                continue
+            piece, _, lp = line.partition("\t")
+            if piece in _SPECIAL:
+                continue
+            pieces.append((piece, float(lp) if lp else 0.0))
         return cls(pieces)
 
     def normalize(self, text: str) -> str:
