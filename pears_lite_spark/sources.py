@@ -9,7 +9,8 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F, \
+    types as T
 
 DEFAULT_LANG = "en"
 
@@ -106,6 +107,66 @@ def subscribe_pod(docs_df: DataFrame, imported_df: DataFrame) -> DataFrame:
     fresh = imported_df.join(docs_df.select("doc_id"), "doc_id",
                              "left_anti")
     return docs_df.unionByName(fresh)
+
+
+def robots_gate(robots_df: DataFrame, site_col: str = "site",
+                txt_col: str = "robots") -> DataFrame:
+    """S3: robots.txt gate (`/root/reference/app/indexer/access.py:7-40`)
+    as window algebra over exploded lines — no per-row parser state.
+
+    Faithful to the reference's (quirky) semantics: it collects every
+    `Disallow:` rule in the `User-agent: *` section and returns blocked
+    whenever ANY rule exists (`access.py:37-40` — the pattern match at
+    :33-36 only prints). Returns (site, n_disallow, allowed)."""
+    lines = robots_df.select(
+        site_col, F.posexplode(F.split(F.col(txt_col), "\n")).alias("i", "l"))
+    w = (Window.partitionBy(site_col).orderBy("i")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    sec = lines.withColumn(
+        "sec", F.last(F.when(F.col("l").contains("User-agent"),
+                             F.col("l")), ignorenulls=True).over(w))
+    dis = (sec.filter(F.col("l").contains("Disallow:")
+                      & F.col("sec").contains("User-agent: *"))
+           .groupBy(site_col).agg(F.count("*").alias("n_disallow")))
+    return (robots_df.select(site_col)
+            .join(dis, site_col, "left")
+            .select(site_col,
+                    F.coalesce("n_disallow", F.lit(0)).alias("n_disallow"),
+                    (F.coalesce("n_disallow", F.lit(0)) == 0).alias("allowed")))
+
+
+_DOC_BLOCK_RE = (r'(?s)<doc url="([^"]*)" title="([^"]*)">(.*?)</doc>')
+
+
+def read_local_docs(spark: SparkSession, path: str) -> DataFrame:
+    """S9: `<doc url="..." title="...">body</doc>` pseudo-XML reader
+    (`/root/reference/app/indexer/controllers.py:201-219`,
+    `app/utils.py:71-83`) — wholetext read + regexp_extract_all +
+    explode; body whitespace-normalized. Returns (url, title, text)."""
+    raw = spark.read.text(path, wholetext=True)
+    blocks = raw.select(F.explode(F.regexp_extract_all(
+        "value", F.lit(_DOC_BLOCK_RE), 0)).alias("b"))
+    return blocks.select(
+        F.regexp_extract("b", _DOC_BLOCK_RE, 1).alias("url"),
+        F.regexp_extract("b", _DOC_BLOCK_RE, 2).alias("title"),
+        F.trim(F.regexp_replace(
+            F.regexp_extract("b", _DOC_BLOCK_RE, 3), r"\s+", " "))
+        .alias("text"))
+
+
+_BOOKMARK_RE = r'(?s)<A HREF="([^"]*)"[^>]*>([^<]*)</A>'
+
+
+def read_bookmarks(spark: SparkSession, path: str) -> DataFrame:
+    """S11: Netscape bookmarks-HTML scan (`/root/reference/app/utils.py:
+    86-102`) — href+title pairs via regexp_extract_all + explode.
+    Returns (url, title)."""
+    raw = spark.read.text(path, wholetext=True)
+    pairs = raw.select(F.explode(F.regexp_extract_all(
+        "value", F.lit(_BOOKMARK_RE), 0)).alias("b"))
+    return pairs.select(
+        F.regexp_extract("b", _BOOKMARK_RE, 1).alias("url"),
+        F.trim(F.regexp_extract("b", _BOOKMARK_RE, 2)).alias("title"))
 
 
 def csv_to_docs(spark: SparkSession, path: str,

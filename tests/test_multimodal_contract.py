@@ -39,7 +39,10 @@ def test_contract_query_names_have_oracles_or_are_rowsonly():
     oracles = contract.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 20
-    # every oracle is non-empty SQL mentioning a registered table
+    # every oracle reads a registered table, or is a table-free oracle
+    # over inline literals / self-provisioned fixture files
     for name, sql in oracles.items():
         assert any(t in sql for t in ("documents", "embeddings", "events",
-                                      "orders", "lineitem")), name
+                                      "orders", "lineitem", "read_csv",
+                                      "read_text", "unnest(ARRAY[",
+                                      "VALUES")), name

@@ -96,3 +96,43 @@ def test_phrase_scores_from_index_matches_oracle(spark, corpus_pdf,
                 exp[d] = phrase_adjacency_score(words, posmap)
         assert got == pytest.approx(exp), phrase
         assert any(s == 1.0 for s in got.values()), phrase  # planted doc
+
+
+def test_robots_gate_reference_quirk(spark):
+    from pears_lite_spark.contract import ROBOTS_FIXTURES
+    from pears_lite_spark.sources import robots_gate
+    df = spark.createDataFrame(ROBOTS_FIXTURES, "site string, robots string")
+    got = {r["site"]: (r["n_disallow"], r["allowed"])
+           for r in robots_gate(df).collect()}
+    assert got["a.example"] == (2, False)   # two Disallow under *
+    assert got["b.example"] == (0, True)    # Disallow under googlebot only
+    assert got["c.example"] == (0, True)    # Allow-only section
+    assert got["d.example"] == (1, False)   # only the * section counts
+    assert got["e.example"] == (0, True)    # empty robots.txt
+
+
+def test_local_docs_and_bookmarks_scan(spark):
+    from pears_lite_spark.contract import (_fixture_bookmarks_file,
+                                           _fixture_docs_file)
+    from pears_lite_spark.sources import read_bookmarks, read_local_docs
+    docs = {r["url"]: (r["title"], r["text"])
+            for r in read_local_docs(spark, _fixture_docs_file()).collect()}
+    assert docs["file:///a"] == ("Alpha", "first local document body")
+    assert docs["file:///c"] == ("Gamma", "padded body")
+    assert len(docs) == 3
+    bms = {r["url"]: r["title"]
+           for r in read_bookmarks(spark, _fixture_bookmarks_file()).collect()}
+    assert bms == {"https://n1.example/": "Site One",
+                   "https://n2.example/x": "Site Two",
+                   "https://other.example/": "Other"}
+
+
+def test_subscribe_pod_existing_wins(spark):
+    from pears_lite_spark.sources import subscribe_pod
+    existing = spark.createDataFrame(
+        [(1, "old"), (2, "old")], "doc_id long, source string")
+    imported = spark.createDataFrame(
+        [(2, "new"), (3, "new")], "doc_id long, source string")
+    got = {r["doc_id"]: r["source"]
+           for r in subscribe_pod(existing, imported).collect()}
+    assert got == {1: "old", 2: "old", 3: "new"}
