@@ -212,6 +212,50 @@ def wand_topk(term_lists: list[dict], k: int, avgdl: float,
     return out
 
 
+def exhaustive_range_topk(term_lists: list[dict], k: int, avgdl: float,
+                          k1: float = K1, b: float = B) -> list[tuple[int, float]]:
+    """Vectorized decode-everything scorer for one doc_range: decode
+    every block of every query term, one bincount accumulate, one
+    lexsort top-k. For ranges bounded by the build's doc_range salt
+    (<= ~16k docs) this beats document-at-a-time WAND by ~10x — the
+    python cursor loop costs more than decoding the whole range.
+    Multi-part indexes need no cursor merging: equal doc_ids across
+    parts sum naturally through the unique/bincount accumulate.
+    Scores are identical to WAND's modulo float summation order."""
+    docs_l, score_l = [], []
+    for t in term_lists:
+        idf_ = t["idf"]
+        for first, last, n, mx, db, tb, lb in t["blocks"]:
+            docs_l.append(codec.decode_block_docs(db, n))
+            tfs = codec.decode_block_tfs(tb, n)
+            dls = codec.varint_decode(lb, n).astype(np.int64)
+            score_l.append(idf_ * codec.bm25_impact(tfs, dls, avgdl, k1, b))
+    if not docs_l:
+        return []
+    d = np.concatenate(docs_l)
+    s = np.concatenate(score_l)
+    ud, inv = np.unique(d, return_inverse=True)
+    agg = np.bincount(inv, weights=s, minlength=ud.size)
+    order = np.lexsort((ud, -agg))[:k]
+    return [(int(ud[i]), float(agg[i])) for i in order]
+
+
+# above this many postings in one (query, doc_range) pair, block-max
+# WAND's skipping pays for its python cursor loop; below it, decoding
+# everything vectorized is faster
+WAND_MIN_POSTINGS = 1 << 19
+
+
+def score_topk(term_lists: list[dict], k: int, avgdl: float,
+               k1: float = K1, b: float = B) -> list[tuple[int, float]]:
+    """Hybrid scorer: vectorized exhaustive for bounded ranges, WAND
+    with block-max skipping for oversized ones."""
+    est = sum(bl[2] for t in term_lists for bl in t["blocks"])
+    if est < WAND_MIN_POSTINGS:
+        return exhaustive_range_topk(term_lists, k, avgdl, k1, b)
+    return wand_topk(term_lists, k, avgdl, k1, b)
+
+
 _SCORE_SCHEMA = T.StructType([
     T.StructField("query_id", T.IntegerType()),
     T.StructField("doc_id", T.LongType()),
@@ -233,7 +277,7 @@ def _wand_group_factory(avgdl: float, k: int, k1: float, b: float):
                               g["max_impact"], g["docs"], g["tfs"], g["dls"]))
             term_lists.append({"idf": float(g["idf"].iloc[0]),
                                "blocks": blocks})
-        hits = wand_topk(term_lists, k, avgdl, k1, b)
+        hits = score_topk(term_lists, k, avgdl, k1, b)
         return pd.DataFrame({
             "query_id": query_id,
             "doc_id": [d for d, _ in hits],
@@ -336,7 +380,12 @@ class Searcher:
         if self._has_part:
             cols.append("part")
         spark = postings.sparkSession
-        n_partitions = n_partitions or spark.sparkContext.defaultParallelism
+        if n_partitions is None:
+            # one task per doc_range shard (scatter width); more tasks
+            # than ranges only adds scheduling + worker roundtrips
+            n_rng = postings.select("doc_range").distinct().count()
+            n_partitions = max(1, min(
+                spark.sparkContext.defaultParallelism, n_rng))
         self.df = (postings.select(*cols)
                    .repartition(n_partitions, "doc_range").persist())
         self.df.count()
@@ -385,7 +434,8 @@ class Searcher:
                             term_lists.append({"idf": idf_, "blocks": lst})
                     if not term_lists:
                         continue
-                    for did, sc in wand_topk(term_lists, k, avgdl, k1, b):
+                    for did, sc in score_topk(term_lists, k, avgdl,
+                                                 k1, b):
                         qids.append(qid)
                         dids.append(did)
                         scores.append(sc)
