@@ -559,6 +559,18 @@ def q_ann_lsh_top10(spark, sf_dir):
     return lsh_topk(emb, [float(x) for x in qvec], k=10)
 
 
+def q_pdf_extract(spark, sf_dir):
+    """S8: PDF text extraction plumbing (rows-only; pdfminer absent, so
+    the built-in uncompressed-stream Tj parser handles the synthetic
+    fixtures — roundtrip asserted in pytest)."""
+    from .functions.pdf import extract_pdf_df, synth_pdf
+    rows = [(i, bytearray(synth_pdf(f"synthetic pdf document {i} "
+                                    f"with shared words")))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    return extract_pdf_df(df)
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payload -> feature vectors (decode
     stubbed deterministically; Spark-side schema/batching real)."""
@@ -664,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_parity": q_extract_parity,
         "ann_lsh_top10": q_ann_lsh_top10,
         "media_features": q_media_features,
+        "pdf_extract": q_pdf_extract,
         "link_extract": q_link_extract,
         "phrase_c6_scores": q_phrase_c6_scores,
     }

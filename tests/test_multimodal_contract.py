@@ -46,3 +46,18 @@ def test_contract_query_names_have_oracles_or_are_rowsonly():
                                       "orders", "lineitem", "read_csv",
                                       "read_text", "unnest(ARRAY[",
                                       "VALUES")), name
+
+
+def test_pdf_extract_roundtrip(spark):
+    from pears_lite_spark.functions.pdf import (extract_pdf_df,
+                                                extract_pdf_text, synth_pdf)
+    texts = ["hello pdf world", "parens (nested) and \\ backslash",
+             "second page text"]
+    assert extract_pdf_text(synth_pdf(texts[1])) == texts[1]
+    assert extract_pdf_text(b"") == ""
+    assert extract_pdf_text(None) == ""
+    df = spark.createDataFrame(
+        [(i, bytearray(synth_pdf(t))) for i, t in enumerate(texts)],
+        "doc_id long, payload binary")
+    got = {r["doc_id"]: r["text"] for r in extract_pdf_df(df).collect()}
+    assert got == dict(enumerate(texts))
