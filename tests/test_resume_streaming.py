@@ -120,3 +120,42 @@ def test_streaming_segments_match_batch(spark, tmp_path):
         return [(int(r.query_id), int(r.doc_id), round(float(r.score), 9))
                 for r in df.sort_values(["query_id", "rank"]).itertuples()]
     assert res(sp, sstats) == res(batch_postings, stats)
+
+
+def test_windowed_event_counts_stream_matches_batch(spark, tmp_path):
+    """Watermarked streaming agg (append mode, AvailableNow) finalizes
+    the same windows as the batch twin for on-time data."""
+    import shutil
+    from pyspark.sql import functions as F
+    from pears_lite_spark.streaming.events import (stream_event_counts,
+                                                   windowed_event_counts)
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .select("event_id", "ts", "event_type", "value"))
+    # split into 3 arrival files ordered by time so AvailableNow drains
+    # them as micro-batches and the watermark advances monotonically
+    src = str(tmp_path / "events_in")
+    import glob
+    import os
+    os.makedirs(src, exist_ok=True)
+    from pyspark.sql import Window
+    w = Window.orderBy("ts", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(w))
+    n = ranked.count()
+    for i in range(3):
+        chunk_dir = str(tmp_path / f"chunk{i}")
+        (ranked.filter((F.col("rn") > i * n // 3)
+                       & (F.col("rn") <= (i + 1) * n // 3))
+         .drop("rn").coalesce(1).write.parquet(chunk_dir))
+        part = glob.glob(f"{chunk_dir}/part-*.parquet")[0]
+        shutil.move(part, f"{src}/part{i}.parquet")
+    out = str(tmp_path / "events_out")
+    stream_event_counts(spark, src, out, str(tmp_path / "ckpt"))
+    got = spark.read.parquet(out)
+    batch = windowed_event_counts(ev)
+    # append mode withholds windows not yet passed by the watermark at
+    # stream end; every window it DID emit must match the batch twin
+    j = (got.join(batch, ["event_type", "window_start"], "left")
+         .filter((got["n"] != batch["n"])
+                 | (got["sum_value_r"] != batch["sum_value_r"])))
+    assert got.count() > 0
+    assert j.count() == 0
