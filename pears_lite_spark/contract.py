@@ -18,7 +18,6 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .functions.extract import LANG_STOPWORDS
-from .functions.textstats import BPE_TOKEN_RE
 
 BM25_QUERY = ["spark", "join", "table", "scan"]
 AND_QUERY = ["window", "vector", "batch"]

@@ -45,7 +45,6 @@ def _load_corpus_tokens(spark, path: str, tokenizer: str):
     """Corpus parquet -> (doc_id, tokens). Accepts either the input-hint
     schema (url, warc_ts, html, text, lang) — html is extracted+tokenized
     in one Arrow pass — or a pre-extracted (doc_id|url, text) table."""
-    from pyspark.sql import functions as F
     from .index.build import ingest_tokens, tokenize_spm, \
         tokenize_whitespace, with_doc_id
     df = spark.read.parquet(path)

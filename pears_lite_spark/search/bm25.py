@@ -33,7 +33,6 @@ from __future__ import annotations
 
 import heapq
 import math
-from collections.abc import Iterable
 
 import numpy as np
 import pandas as pd

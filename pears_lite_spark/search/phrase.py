@@ -18,7 +18,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from ..index import codec
-from ..index.build import CorpusStats
 from ..xxh64 import xxh64_signed
 from .parity import group_subwords, phrase_adjacency_score
 
