@@ -51,18 +51,15 @@ def corpus_path(n_docs: int) -> str:
 
 def build_index_job(spark, cpath: str, out_dir: str):
     """The full north-rule pipeline: html -> extract -> SPM tokenize ->
-    postings blocks -> bucketed parquet. Returns (n_docs, stats)."""
-    from pears_lite_spark.index.build import (build_postings, corpus_stats,
-                                              ingest_tokens, write_index)
+    postings blocks -> bucketed parquet, fused so neither html nor
+    token arrays cross the Arrow bridge twice. Returns stats."""
+    from pears_lite_spark.index.build import build_from_corpus, write_index
     # the corpus directory holds many ~2500-doc files, so the scan
     # splits across executors with NO shuffle of the html payload (at
     # web scale you never repartition 100 TB of raw bytes)
     corpus = spark.read.parquet(cpath).select("url", "html")
-    toks = ingest_tokens(corpus).select("doc_id", "tokens").persist()
-    stats = corpus_stats(toks)
-    postings, stats = build_postings(toks, stats=stats)
+    postings, stats = build_from_corpus(corpus)
     write_index(postings, out_dir, stats=stats)
-    toks.unpersist()
     return stats
 
 

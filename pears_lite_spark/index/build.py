@@ -306,6 +306,117 @@ _PARTIAL_SCHEMA = T.StructType([
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
+# partial rows with this p value carry per-flush doc stats
+# (docs blob = doc_ids int64, dls blob = doc lengths int32)
+_DOC_STATS_P = -(1 << 62)
+
+
+class _PartialBuilder:
+    """Shared phase-A accumulator: docs stream in via add(), sorted
+    partial posting runs stream out as binary-blob DataFrames (one row
+    per target slot per flush). Used by both the tokens-input and the
+    fused corpus-input kernels."""
+
+    def __init__(self, range_shift: int, slot_values: list[int],
+                 with_positions: bool):
+        from ..xxh64 import xxh64_signed
+        self._hash = xxh64_signed
+        self.range_shift = range_shift
+        self.with_positions = with_positions
+        self.n_slots = len(slot_values)
+        self.slot_vals = np.asarray(slot_values, dtype=np.int64)
+        self._cache: dict[str, int] = {}
+        self.tids: list[np.ndarray] = []
+        self.docs: list[np.ndarray] = []
+        self.dls: list[np.ndarray] = []
+        self.poss: list[np.ndarray] = []
+        self.acc = 0
+
+    def tid_of(self, t: str) -> int:
+        v = self._cache.get(t)
+        if v is None:
+            v = self._hash(t)
+            if len(self._cache) < (1 << 22):
+                self._cache[t] = v
+        return v
+
+    def add(self, doc_id: int, ids: np.ndarray, idxs: np.ndarray,
+            dl: int) -> None:
+        """One document's (term_id array, position array, doc length)."""
+        self.tids.append(ids)
+        self.docs.append(np.full(ids.size, doc_id, np.int64))
+        self.dls.append(np.full(ids.size, dl, np.int32))
+        self.poss.append(idxs)
+        self.acc += ids.size
+
+    def add_tokens(self, doc_id: int, toks, n0: int,
+                   vocab_set: "frozenset[str] | None" = None) -> None:
+        if vocab_set is not None:
+            kept = [(i, tk) for i, tk in enumerate(toks) if tk in vocab_set]
+            if not kept:
+                return
+            ids = np.fromiter((self.tid_of(tk) for _, tk in kept),
+                              np.int64, len(kept))
+            idxs = np.fromiter((i for i, _ in kept), np.int32, len(kept))
+        else:
+            ids = np.fromiter(map(self.tid_of, toks), np.int64, n0)
+            idxs = np.arange(n0, dtype=np.int32)
+        self.add(doc_id, ids, idxs, n0)
+
+    def flush(self) -> pd.DataFrame:
+        t = np.concatenate(self.tids)
+        d = np.concatenate(self.docs)
+        dl = np.concatenate(self.dls)
+        pp = np.concatenate(self.poss) if self.with_positions else None
+        self.tids, self.docs, self.dls, self.poss = [], [], [], []
+        self.acc = 0
+        if self.with_positions:
+            order = np.lexsort((pp, d, t))
+            pp = pp[order]
+        else:
+            order = np.lexsort((d, t))
+        t, d, dl = t[order], d[order], dl[order]
+        n = t.size
+        newr = np.empty(n, dtype=bool)
+        newr[0] = True
+        newr[1:] = (t[1:] != t[:-1]) | (d[1:] != d[:-1])
+        r_start = np.flatnonzero(newr)
+        r_tf = (np.append(r_start[1:], n) - r_start).astype(np.int32)
+        r_t, r_d = t[r_start], d[r_start]
+        r_dl = dl[r_start].astype(np.int32)
+        rng = (r_d >> self.range_shift).astype(np.int64)
+        slot = ((r_t.astype(np.uint64) * _MIX ^ rng.astype(np.uint64))
+                % np.uint64(self.n_slots)).astype(np.int64)
+        order2 = np.argsort(slot, kind="stable")
+        s2 = slot[order2]
+        t2, d2 = r_t[order2], r_d[order2]
+        tf2, dl2 = r_tf[order2], r_dl[order2]
+        if self.with_positions:
+            starts = np.zeros(r_start.size, dtype=np.int64)
+            np.cumsum(r_tf[:-1].astype(np.int64), out=starts[1:])
+            sel_tf = r_tf[order2].astype(np.int64)
+            out_starts = np.zeros(sel_tf.size, dtype=np.int64)
+            np.cumsum(sel_tf[:-1], out=out_starts[1:])
+            gidx = (np.repeat(starts[order2] - out_starts, sel_tf)
+                    + np.arange(n, dtype=np.int64))
+            p2 = pp[gidx].astype(np.int32)
+            pedge = np.append(out_starts, n)
+        rows = {k: [] for k in ("p", "terms", "docs", "tfs", "dls",
+                                "poss")}
+        seg = np.flatnonzero(np.concatenate(
+            ([True], s2[1:] != s2[:-1])))
+        seg_end = np.append(seg[1:], s2.size)
+        for i0, i1 in zip(seg, seg_end):
+            rows["p"].append(int(self.slot_vals[s2[i0]]))
+            rows["terms"].append(t2[i0:i1].tobytes())
+            rows["docs"].append(d2[i0:i1].tobytes())
+            rows["tfs"].append(tf2[i0:i1].tobytes())
+            rows["dls"].append(dl2[i0:i1].tobytes())
+            rows["poss"].append(
+                p2[pedge[i0]:pedge[i1]].tobytes() if self.with_positions
+                else b"")
+        return pd.DataFrame(rows)
+
 
 def _partial_factory(range_shift: int, slot_values: list[int],
                      with_positions: bool,
@@ -318,107 +429,71 @@ def _partial_factory(range_shift: int, slot_values: list[int],
     conversion — the bytes are cheap, the per-row conversion is not),
     and the shuffle moves delta-friendly packed arrays instead of 35
     rows per token."""
-    n_slots = len(slot_values)
-    slot_vals = np.asarray(slot_values, dtype=np.int64)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..xxh64 import xxh64_signed
-        cache: dict[str, int] = {}
-
-        def tid_of(t: str) -> int:
-            v = cache.get(t)
-            if v is None:
-                v = xxh64_signed(t)
-                if len(cache) < (1 << 22):
-                    cache[t] = v
-            return v
-
-        tids: list[np.ndarray] = []
-        docs: list[np.ndarray] = []
-        dls: list[np.ndarray] = []
-        poss: list[np.ndarray] = []
-        acc = 0
-
-        def flush() -> pd.DataFrame:
-            nonlocal tids, docs, dls, poss, acc
-            t = np.concatenate(tids)
-            d = np.concatenate(docs)
-            dl = np.concatenate(dls)
-            pp = np.concatenate(poss) if with_positions else None
-            tids, docs, dls, poss, acc = [], [], [], [], 0
-            if with_positions:
-                order = np.lexsort((pp, d, t))
-                pp = pp[order]
-            else:
-                order = np.lexsort((d, t))
-            t, d, dl = t[order], d[order], dl[order]
-            n = t.size
-            newr = np.empty(n, dtype=bool)
-            newr[0] = True
-            newr[1:] = (t[1:] != t[:-1]) | (d[1:] != d[:-1])
-            r_start = np.flatnonzero(newr)
-            r_tf = (np.append(r_start[1:], n) - r_start).astype(np.int32)
-            r_t, r_d = t[r_start], d[r_start]
-            r_dl = dl[r_start].astype(np.int32)
-            rng = (r_d >> range_shift).astype(np.int64)
-            slot = ((r_t.astype(np.uint64) * _MIX ^ rng.astype(np.uint64))
-                    % np.uint64(n_slots)).astype(np.int64)
-            order2 = np.argsort(slot, kind="stable")
-            s2 = slot[order2]
-            t2, d2 = r_t[order2], r_d[order2]
-            tf2, dl2 = r_tf[order2], r_dl[order2]
-            if with_positions:
-                starts = np.zeros(r_start.size, dtype=np.int64)
-                np.cumsum(r_tf[:-1].astype(np.int64), out=starts[1:])
-                sel_tf = r_tf[order2].astype(np.int64)
-                out_starts = np.zeros(sel_tf.size, dtype=np.int64)
-                np.cumsum(sel_tf[:-1], out=out_starts[1:])
-                gidx = (np.repeat(starts[order2] - out_starts, sel_tf)
-                        + np.arange(n, dtype=np.int64))
-                p2 = pp[gidx].astype(np.int32)
-                pedge = np.append(out_starts, n)
-            rows = {k: [] for k in ("p", "terms", "docs", "tfs", "dls",
-                                    "poss")}
-            seg = np.flatnonzero(np.concatenate(
-                ([True], s2[1:] != s2[:-1])))
-            seg_end = np.append(seg[1:], s2.size)
-            for i0, i1 in zip(seg, seg_end):
-                rows["p"].append(int(slot_vals[s2[i0]]))
-                rows["terms"].append(t2[i0:i1].tobytes())
-                rows["docs"].append(d2[i0:i1].tobytes())
-                rows["tfs"].append(tf2[i0:i1].tobytes())
-                rows["dls"].append(dl2[i0:i1].tobytes())
-                rows["poss"].append(
-                    p2[pedge[i0]:pedge[i1]].tobytes() if with_positions
-                    else b"")
-            return pd.DataFrame(rows)
-
+        b = _PartialBuilder(range_shift, slot_values, with_positions)
         for pdf in batches:
             for doc_id, toks in zip(pdf["doc_id"], pdf["tokens"]):
                 n0 = len(toks)
                 if n0 == 0:
                     continue
-                if vocab_set is not None:
-                    kept = [(i, tk) for i, tk in enumerate(toks)
-                            if tk in vocab_set]
-                    if not kept:
-                        continue
-                    ids = np.fromiter((tid_of(tk) for _, tk in kept),
-                                      np.int64, len(kept))
-                    idxs = np.fromiter((i for i, _ in kept), np.int32,
-                                       len(kept))
-                else:
-                    ids = np.fromiter(map(tid_of, toks), np.int64, n0)
-                    idxs = np.arange(n0, dtype=np.int32)
-                tids.append(ids)
-                docs.append(np.full(ids.size, doc_id, np.int64))
-                dls.append(np.full(ids.size, n0, np.int32))
-                poss.append(idxs)
-                acc += ids.size
-                if acc >= FLUSH_ROWS:
-                    yield flush()
-        if acc:
-            yield flush()
+                b.add_tokens(doc_id, toks, n0, vocab_set)
+                if b.acc >= FLUSH_ROWS:
+                    yield b.flush()
+        if b.acc:
+            yield b.flush()
+
+    return kernel
+
+
+def _corpus_partial_factory(range_shift: int, slot_values: list[int],
+                            with_positions: bool, tokenizer: str):
+    """Fused phase A: (url, html) -> extraction -> tokenize -> partial
+    posting runs in ONE python pass — token arrays never cross the
+    Arrow bridge at all (build_postings over pre-tokenized input pays
+    that crossing once). Also emits one doc-stats row per flush
+    (p = _DOC_STATS_P; docs/dls blobs hold each flushed doc's id and
+    length) so corpus statistics come from the same pass."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.extract import extract_html
+        from ..vocab import get_vocab
+        v = get_vocab() if tokenizer == "spm" else None
+        b = _PartialBuilder(range_shift, slot_values, with_positions)
+        sdocs: list[int] = []
+        sdls: list[int] = []
+
+        def stat_row() -> pd.DataFrame:
+            nonlocal sdocs, sdls
+            out = pd.DataFrame({
+                "p": [_DOC_STATS_P],
+                "terms": [b""],
+                "docs": [np.asarray(sdocs, np.int64).tobytes()],
+                "tfs": [b""],
+                "dls": [np.asarray(sdls, np.int32).tobytes()],
+                "poss": [b""],
+            })
+            sdocs, sdls = [], []
+            return out
+
+        for pdf in batches:
+            for url, html in zip(pdf["url"], pdf["html"]):
+                title, text, snippet, lang = extract_html(html)
+                if not text:
+                    continue  # unextractable page (reference rejects)
+                toks = v.encode_as_pieces(text) if v else text.split()
+                n0 = len(toks)
+                if n0 == 0:
+                    continue
+                doc_id = b._hash(url)
+                sdocs.append(doc_id)
+                sdls.append(n0)
+                b.add_tokens(doc_id, toks, n0)
+                if b.acc >= FLUSH_ROWS:
+                    yield pd.concat([b.flush(), stat_row()],
+                                    ignore_index=True)
+        if b.acc:
+            yield pd.concat([b.flush(), stat_row()], ignore_index=True)
 
     return kernel
 
@@ -548,6 +623,71 @@ def build_postings(tokens_df: DataFrame,
         _partial_factory(range_shift, slots, with_positions, vocab_set),
         schema=_PARTIAL_SCHEMA)
     postings = (partials.repartition(n_partitions, "p")
+                .mapInArrow(_merge_factory(stats.avgdl, block_size,
+                                           with_positions, range_shift),
+                            schema=POSTING_SCHEMA))
+    return postings, stats
+
+
+def build_from_corpus(corpus_df: DataFrame, tokenizer: str = "spm",
+                      block_size: int = codec.BLOCK_SIZE,
+                      range_shift: int | None = None,
+                      with_positions: bool = True,
+                      n_partitions: int | None = None,
+                      est_avgdl: float = 350.0) -> tuple[DataFrame, CorpusStats]:
+    """Fused build: (url, html) corpus -> posting blocks in ONE python
+    pass plus the bytes shuffle — extraction, tokenization, doc_id
+    hashing and partial-run construction all happen in the same
+    mapInPandas, so neither the html nor the token arrays ever make a
+    second trip across the Arrow bridge (build_postings over
+    pre-tokenized input pays one token-array crossing).
+
+    Corpus statistics (n_docs, avgdl for the phase-B BM25 impacts)
+    come from per-flush doc-stats side rows in the partials — no
+    separate pass over the corpus. range_shift is derived from the
+    corpus ROW COUNT (cheap metadata), which can differ from the
+    extractable-doc count build_postings would use only when the two
+    straddle a power-of-2 boundary of MAX_RANGE_DOCS; pass
+    `range_shift` explicitly when byte-parity with a tokens-path build
+    matters."""
+    spark = corpus_df.sparkSession
+    est_docs = corpus_df.count()
+    if range_shift is None:
+        range_shift = range_shift_for(est_docs)
+    if n_partitions is None:
+        base = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+                   math.ceil(est_docs * est_avgdl / TARGET_PART_ROWS))
+        par = max(1, spark.sparkContext.defaultParallelism)
+        n_partitions = math.ceil(base / par) * par
+    slots = _slot_values(spark, n_partitions)
+    partials = corpus_df.select("url", "html").mapInPandas(
+        _corpus_partial_factory(range_shift, slots, with_positions,
+                                tokenizer),
+        schema=_PARTIAL_SCHEMA).persist()
+
+    def stats_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        n = 0
+        tot = 0
+        for rb in batches:
+            dls_col = rb.column("dls")
+            for i in range(rb.num_rows):
+                arr = np.frombuffer(dls_col[i].as_py(), np.int32)
+                n += arr.size
+                tot += int(arr.sum())
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([n], pa.int64()), pa.array([tot], pa.int64())],
+            names=["n", "tot"])
+
+    row = (partials.filter(F.col("p") == _DOC_STATS_P)
+           .select("dls")
+           .mapInArrow(stats_kernel, "n long, tot long")
+           .agg(F.sum("n").alias("n"), F.sum("tot").alias("tot"))
+           .collect()[0])
+    n_docs = int(row["n"] or 0)
+    stats = CorpusStats(n_docs=n_docs,
+                        avgdl=float(row["tot"] or 0) / max(n_docs, 1))
+    postings = (partials.filter(F.col("p") != _DOC_STATS_P)
+                .repartition(n_partitions, "p")
                 .mapInArrow(_merge_factory(stats.avgdl, block_size,
                                            with_positions, range_shift),
                             schema=POSTING_SCHEMA))

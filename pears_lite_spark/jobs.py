@@ -63,7 +63,11 @@ def _load_corpus_tokens(spark, path: str, tokenizer: str):
 def cmd_build(args) -> int:
     spark = _spark("pears-build")
     t0 = time.time()
-    tokens = _load_corpus_tokens(spark, args.input, args.tokenizer)
+    # html corpora take the fused build (below); resume + pre-extracted
+    # tables go through the tokens path
+    has_html = "html" in spark.read.parquet(args.input).columns
+    tokens = None if (has_html and not args.resume) else \
+        _load_corpus_tokens(spark, args.input, args.tokenizer)
     if args.resume:
         from .index.checkpoint import build_resumable, manifests
         stats = build_resumable(tokens, args.output, n_parts=args.n_parts,
@@ -72,9 +76,15 @@ def cmd_build(args) -> int:
         n_blocks = sum(m["n_blocks"] for m in ms)
         payload = sum(m["payload_bytes"] for m in ms)
     else:
-        from .index.build import build_postings, write_index
-        postings, stats = build_postings(
-            tokens, with_positions=not args.no_positions)
+        from .index.build import (build_from_corpus, build_postings,
+                                  write_index)
+        if tokens is None:  # html corpus: fused single-pass build
+            postings, stats = build_from_corpus(
+                spark.read.parquet(args.input), tokenizer=args.tokenizer,
+                with_positions=not args.no_positions)
+        else:
+            postings, stats = build_postings(
+                tokens, with_positions=not args.no_positions)
         write_index(postings, args.output, stats=stats,
                     n_buckets=args.n_buckets)
         n_blocks = payload = None

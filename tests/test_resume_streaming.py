@@ -159,3 +159,33 @@ def test_windowed_event_counts_stream_matches_batch(spark, tmp_path):
                  | (got["sum_value_r"] != batch["sum_value_r"])))
     assert got.count() > 0
     assert j.count() == 0
+
+
+def test_build_from_corpus_matches_tokens_path(spark):
+    """Fused corpus build is byte-identical to the tokens-path build
+    (same range_shift) and derives identical corpus stats."""
+    from pyspark.sql import functions as F
+    from pears_lite_spark.corpus import gen_corpus
+    from pears_lite_spark.index.build import (build_from_corpus,
+                                              build_postings, corpus_stats,
+                                              ingest_tokens,
+                                              range_shift_for)
+    cdf = spark.createDataFrame(gen_corpus(300)).select("url", "html")
+    toks = ingest_tokens(cdf).select("doc_id", "tokens").persist()
+    ref_stats = corpus_stats(toks)
+    ref, _ = build_postings(toks, stats=ref_stats)
+    shift = range_shift_for(ref_stats.n_docs)
+    new, new_stats = build_from_corpus(cdf, range_shift=shift)
+    assert new_stats.n_docs == ref_stats.n_docs
+    assert abs(new_stats.avgdl - ref_stats.avgdl) < 1e-9
+    key = ["term_id", "doc_range", "block_id"]
+    cols = ["first_doc", "last_doc", "n", "max_impact",
+            "docs", "tfs", "dls", "positions"]
+    o = ref.select(*key, *cols)
+    nw = new.select(*key, *[F.col(c).alias(c + "_n") for c in cols])
+    j = o.join(nw, key, "full_outer")
+    cond = F.col("n").isNull() | F.col("n_n").isNull()
+    for c in cols:
+        cond = cond | (F.col(c) != F.col(c + "_n"))
+    assert j.filter(cond).count() == 0
+    assert o.count() == new.count() > 0
