@@ -107,6 +107,73 @@ def _fixture_csv_file() -> str:
     return path
 
 
+def _fixture_links_corpus_parquet() -> str:
+    """(url, html:string) parquet of the synthetic corpus — shared input
+    for the S6 link-extraction query and its DuckDB oracle (written by
+    whichever side runs first; fully deterministic)."""
+    import os
+    import tempfile
+    path = os.path.join(tempfile.gettempdir(), "pears_links_corpus.parquet")
+    if True:  # always rewrite: stale fixtures from older code would poison
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from .corpus import gen_corpus
+        pdf = gen_corpus(60)
+        pq.write_table(pa.table({
+            "url": pdf["url"],
+            "html": [h.decode("utf-8") for h in pdf["html"]],
+        }), path)
+    return path
+
+
+def _fixture_spm_expected_parquet() -> str:
+    """Expected SentencePiece piece counts for the synthetic corpus,
+    computed DRIVER-SIDE with the same vocab (pure Python, no Spark) —
+    the oracle for the T1 Spark plumbing path. Self-derived but
+    execution-independent: a bug in the mapInPandas kernel, Arrow
+    marshalling, or per-executor vocab load shows up as a mismatch."""
+    import os
+    import tempfile
+    path = os.path.join(tempfile.gettempdir(), "pears_spm_expected.parquet")
+    if True:  # always rewrite (deterministic; ~1s)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from .corpus import gen_corpus
+        from .vocab import get_vocab
+        v = get_vocab()
+        pdf = gen_corpus(120)
+        pq.write_table(pa.table({
+            "url": pdf["url"],
+            "n_pieces": [len(v.encode_as_pieces(t)) if isinstance(t, str)
+                         else 0 for t in pdf["text"]],
+        }), path)
+    return path
+
+
+def _fixture_extract_expected_parquet() -> str:
+    """Expected HTML-extraction parity rows (url, ok, n_chars), computed
+    driver-side with the same extractor (see _fixture_spm_expected_parquet
+    on what this does and does not prove)."""
+    import os
+    import tempfile
+    path = os.path.join(tempfile.gettempdir(),
+                        "pears_extract_expected.parquet")
+    if True:  # always rewrite (deterministic; fast)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from .corpus import gen_corpus
+        from .functions.extract import extract_html
+        pdf = gen_corpus(120)
+        oks, ncs = [], []
+        for html, expected in zip(pdf["html"], pdf["text"]):
+            _, text, _, _ = extract_html(html)
+            oks.append(text == expected)
+            ncs.append(len(text))
+        pq.write_table(pa.table({"url": pdf["url"], "ok": oks,
+                                 "n_chars": ncs}), path)
+    return path
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -525,20 +592,24 @@ def q_query_vectors(spark, sf_dir):
 # ------------------------------------------------------- rows-only queries
 
 def q_spm_tokens(spark, sf_dir):
-    """T1: SentencePiece-unigram tokenization over the synthetic
-    html corpus (non-SQL: Viterbi segmentation)."""
+    """T1: SentencePiece-unigram tokenization over the synthetic html
+    corpus; oracle = driver-side expected piece counts (exercises the
+    mapInPandas kernel, Arrow marshalling and per-executor vocab load
+    against an independent pure-Python run of the same tokenizer)."""
     from .corpus import gen_corpus
     from .index.build import tokenize_spm, with_doc_id
     pdf = gen_corpus(120)
     cdf = with_doc_id(spark.createDataFrame(pdf))
     out = tokenize_spm(cdf.select("doc_id", "url", "text"),
                        id_cols=("doc_id", "url"))
-    return out.select("url", F.size("tokens").alias("n_pieces"))
+    return out.select("url",
+                      F.size("tokens").cast("long").alias("n_pieces"))
 
 
 def q_extract_parity(spark, sf_dir):
     """S7: HTML extraction over the synthetic corpus; `ok` flags
-    byte-identity between engine extraction and stored expected text."""
+    byte-identity between engine extraction and stored expected text.
+    Oracle = driver-side expected rows from the same extractor."""
     from .corpus import gen_corpus
     from .functions.extract import extract_df
     pdf = gen_corpus(120)
@@ -547,34 +618,48 @@ def q_extract_parity(spark, sf_dir):
     exp = cdf.select("url", F.col("text").alias("expected"))
     return (ext.join(exp, "url")
             .select("url", (F.col("etext") == F.col("expected")).alias("ok"),
-                    F.length("etext").alias("n_chars")))
+                    F.length("etext").cast("long").alias("n_chars")))
 
 
 def q_ann_lsh_top10(spark, sf_dir):
-    """LSH-bucketed ANN (approximate; recall vs brute tested in pytest)."""
+    """LSH-bucketed ANN. The probe set is deterministic (seeded
+    hyperplanes), so the full pipeline — per-table sign buckets,
+    Hamming<=1 probe, exact re-rank — has an exact SQL oracle with the
+    same plane literals (recall vs brute is additionally pytest-held)."""
     from .ann import lsh_topk
     emb = _emb(spark, sf_dir)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    return lsh_topk(emb, [float(x) for x in qvec], k=10)
+    out = lsh_topk(emb, [float(x) for x in qvec], k=10)
+    return out.select("vec_id", F.round("cosine", 5).alias("cos_r"))
 
 
 def q_pdf_extract(spark, sf_dir):
-    """S8: PDF text extraction plumbing (rows-only; pdfminer absent, so
-    the built-in uncompressed-stream Tj parser handles the synthetic
-    fixtures — roundtrip asserted in pytest)."""
+    """S8: PDF text extraction — the built-in uncompressed-stream Tj
+    parser must invert synth_pdf exactly, so the oracle is the known
+    source text (a real roundtrip check, not rows-only)."""
     from .functions.pdf import extract_pdf_df, synth_pdf
     rows = [(i, bytearray(synth_pdf(f"synthetic pdf document {i} "
                                     f"with shared words")))
             for i in range(40)]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
-    return extract_pdf_df(df)
+    out = extract_pdf_df(df)
+    return out.select("doc_id", "text",
+                      F.col("n_chars").cast("long").alias("n_chars"))
 
 
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payload -> feature vectors (decode
-    stubbed deterministically; Spark-side schema/batching real)."""
+    stubbed deterministically; Spark-side schema/batching real). The
+    array<double> features column is serialized to a fixed-6-decimal
+    string so the driver's pandas canonicalizer can sort/hash rows; the
+    DuckDB oracle recomputes the sha256-derived fake features in SQL."""
     from .functions.multimodal import extract_features_df, synth_media
-    return extract_features_df(synth_media(spark, 48))
+    out = extract_features_df(synth_media(spark, 48))
+    return out.select(
+        "doc_id", "kind", F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.concat_ws(",", F.transform("features",
+                                     lambda x: F.format_number(x, 6)))
+        .alias("features_s"))
 
 
 def q_url_list_scan(spark, sf_dir):
@@ -585,10 +670,10 @@ def q_url_list_scan(spark, sf_dir):
 
 def q_link_extract(spark, sf_dir):
     """S6: href extraction + absolutization over the synthetic html
-    corpus (rows-only)."""
-    from .corpus import gen_corpus
+    corpus; oracle mirrors the href regex + urljoin in DuckDB SQL over
+    the same fixture parquet."""
     from .sources import extract_links_df
-    cdf = spark.createDataFrame(gen_corpus(60))
+    cdf = spark.read.parquet(_fixture_links_corpus_parquet())
     return extract_links_df(cdf)
 
 
@@ -690,6 +775,40 @@ def _in_list(words) -> str:
 def _sql_str(s: str) -> str:
     """SQL string literal (embedded newlines stay literal)."""
     return "'" + s.replace("'", "''") + "'"
+
+
+def _ann_lsh_oracle() -> str:
+    """Exact SQL twin of ann.lsh_topk's default config (4 tables x 8
+    seeded hyperplanes, Hamming<=1 probe, exact cosine re-rank) with the
+    plane vectors inlined as literals — dot products run in the same
+    sequential order in both engines, so sign bits agree bit-for-bit."""
+    from .ann import LSH_SEED, hyperplanes
+
+    def arr(p):
+        return "ARRAY[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    buckets = []
+    for t in range(4):
+        planes = hyperplanes(64, 8, seed=LSH_SEED + t)
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(v, {arr(p)}) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes))
+        buckets.append(f"({bits}) AS b{t}")
+    probe = " OR ".join(
+        f"bit_count(xor(b.b{t}, q.b{t})) <= 1" for t in range(4))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {", ".join(buckets)} FROM e),
+q AS (SELECT * FROM b WHERE vec_id = 0),
+cand AS (SELECT b.vec_id, b.v FROM b, q WHERE {probe}),
+s AS (SELECT cand.vec_id,
+        list_dot_product(cand.v, q.v)
+        / (sqrt(list_dot_product(cand.v, cand.v))
+           * sqrt(list_dot_product(q.v, q.v))) AS cosine
+      FROM cand, q)
+SELECT vec_id, round(cosine, 5) AS cos_r FROM s
+ORDER BY cosine DESC, vec_id LIMIT 10"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1171,8 +1290,58 @@ FROM read_csv('{path}', delim=';', header=false,
               null_padding=true, auto_detect=false)
 WHERE c0 IS NOT NULL AND trim(c0) <> ''""".format(path=_fixture_urls_file()),
 
+        "link_extract": r"""
+WITH c AS (SELECT url, html FROM read_parquet('{path}')),
+l AS (SELECT url,
+        unnest(regexp_extract_all(html,
+          '(?i)<a\b[^>]*?href\s*=\s*["'']([^"''#]+)["'']', 1)) AS href
+      FROM c)
+SELECT url,
+  CASE WHEN regexp_matches(href, '^[a-zA-Z][a-zA-Z0-9+.-]*://') THEN href
+       WHEN href LIKE '//%' THEN
+         regexp_extract(url, '^([a-zA-Z]+:)', 1) || href
+       WHEN href LIKE '/%' THEN
+         regexp_extract(url, '^([a-zA-Z]+://[^/]+)', 1) || href
+       ELSE regexp_replace(url, '[^/]*$', '') || href END AS link
+FROM l""".format(path=_fixture_links_corpus_parquet()),
+
+        "spm_tokens": """
+SELECT url, n_pieces::BIGINT AS n_pieces FROM read_parquet('{path}')""".format(
+            path=_fixture_spm_expected_parquet()),
+
+        "extract_parity": """
+SELECT url, ok, n_chars::BIGINT AS n_chars FROM read_parquet('{path}')""".format(
+            path=_fixture_extract_expected_parquet()),
+
+        "ann_lsh_top10": _ann_lsh_oracle(),
+
+        "pdf_extract": """
+WITH t AS (SELECT i::BIGINT AS doc_id,
+             'synthetic pdf document ' || i || ' with shared words' AS text
+           FROM (SELECT unnest(range(0, 40)) AS i))
+SELECT doc_id, text, length(text)::BIGINT AS n_chars FROM t""",
+
+        "media_features": """
+WITH m AS (
+  SELECT i::BIGINT AS doc_id,
+         CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+           AS kind,
+         repeat(unhex(sha256('media' || i)), 1 + i % 7) AS payload
+  FROM (SELECT unnest(range(0, 48)) AS i)),
+h AS (
+  SELECT doc_id, kind, octet_length(payload)::BIGINT AS n_bytes,
+         sha256(kind || lower(hex(payload))) AS hx
+  FROM m)
+SELECT doc_id, kind, n_bytes,
+  array_to_string(list_transform(range(0, 16), j ->
+    printf('%.6f', (('0x' || substr(hx, 4*j+3, 2) || substr(hx, 4*j+1, 2))::INT)
+           / 65535.0)), ',') AS features_s
+FROM h""",
+
         "csv_docs": """
-SELECT 'people.csv#row [' || (row_number() OVER (ORDER BY name) - 1)::VARCHAR
+SELECT 'people.csv#row [' || (row_number() OVER (
+         ORDER BY name ASC NULLS FIRST, city ASC NULLS FIRST,
+                  notes ASC NULLS FIRST) - 1)::VARCHAR
          || ']' AS url,
        concat_ws(' ', 'name: ' || coalesce(name, '') || '.',
                       'city: ' || coalesce(city, '') || '.',

@@ -79,13 +79,37 @@ def lsh_candidate_pairs(docs_df: DataFrame, num_hashes: int = 16,
 
 def jaccard_pairs(docs_df: DataFrame, candidates: DataFrame | None = None,
                   n: int = DEFAULT_SHINGLE,
-                  threshold: float = 0.0) -> DataFrame:
+                  threshold: float = 0.0,
+                  max_shingle_df: int | None = None) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (or all pairs that
-    share >= 1 shingle). (doc_a, doc_b, jaccard)."""
+    share >= 1 shingle). (doc_a, doc_b, jaccard).
+
+    Scale guards (the 100 TB path is candidates=LSH pairs + a df cap):
+    - `candidates` prunes BEFORE the shingle self-join (semi-join the
+      shingle table down to candidate doc_ids, then re-check exact
+      pairs after the intersect) — the quadratic pair space is never
+      materialized for non-candidate docs;
+    - `max_shingle_df` drops shingles whose document frequency exceeds
+      the cap from the JOIN side only (denominator set sizes stay
+      exact): one stopword shingle shared by 1% of a web corpus is a
+      quadratic bomb; dropping it makes `jaccard` a tight lower bound
+      while candidate recall is carried by the remaining shingles.
+    """
     sh = shingles(docs_df, n)
+    if candidates is not None:
+        cand_ids = (candidates.select(F.col("doc_a").alias("doc_id"))
+                    .unionByName(candidates.select(F.col("doc_b")
+                                                   .alias("doc_id")))
+                    .distinct())
+        sh = sh.join(cand_ids, "doc_id", "left_semi")
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    joinable = sh
+    if max_shingle_df is not None:
+        hot = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+               .filter(F.col("df") > max_shingle_df).select("shingle"))
+        joinable = sh.join(hot, "shingle", "left_anti")
+    a = joinable.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = joinable.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (a.join(b, "shingle")
              .filter(F.col("doc_a") < F.col("doc_b"))
              .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter")))
@@ -137,18 +161,24 @@ def simhash_dup_groups(docs_df: DataFrame) -> DataFrame:
 def embedding_near_dup_pairs(emb_df: DataFrame, threshold: float = 0.95,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",
-                             method: str = "lsh") -> DataFrame:
+                             method: str = "lsh",
+                             n_planes: int = 8,
+                             n_tables: int = 6) -> DataFrame:
     """Embedding-cosine near-dup pairs above `threshold`.
 
-    method='lsh' (the 100 TB path): block-nested join on a coarse LSH
-    sign-prefix bucket (4 hyperplane signs from deterministic axis
-    pairs) so each vector is compared only within its bucket; exact
-    cosine verify inside buckets. Sound for near-identical vectors
-    (high thresholds), where sign bits agree w.h.p.
+    method='lsh' (the 100 TB path): multi-table random-hyperplane LSH
+    (reusing ann.hyperplanes — seeded, dimension-agnostic): `n_tables`
+    independent `n_planes`-bit sign buckets; candidate pairs = docs
+    sharing a full bucket in ANY table (banding-style recall
+    amplification: P(candidate) = 1-(1-p^n_planes)^n_tables with
+    p = 1-theta/pi; defaults give ~0.96 at cosine 0.95). Expected
+    bucket occupancy is n/2^n_planes per table, so the within-bucket
+    join is never globally quadratic; only id pairs flow through the
+    union/distinct, vectors re-join once for the exact verify.
 
     method='exact': full O(n^2) self-join with exact cosine — the
-    correctness oracle / verify stage; at scale run it only within
-    LSH-candidate buckets, never globally."""
+    correctness oracle / verify stage; at scale run it only on LSH
+    candidates, never globally."""
     v = emb_df.select(F.col(id_col).alias("vid"),
                       F.transform(F.col(vec_col),
                                   lambda x: x.cast("double")).alias("v"))
@@ -157,18 +187,25 @@ def embedding_near_dup_pairs(emb_df: DataFrame, threshold: float = 0.95,
         b = v.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"))
         joined = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
-        # deterministic coarse bucket: signs of 4 fixed coordinate contrasts
-        def sign_bit(i, j, bit):
-            return F.when(F.element_at("v", i) - F.element_at("v", j) > 0,
-                          F.lit(1 << bit)).otherwise(F.lit(0))
-        bucket = (sign_bit(1, 33, 0) + sign_bit(2, 34, 1)
-                  + sign_bit(3, 35, 2) + sign_bit(4, 36, 3))
-        vb = v.withColumn("bucket", bucket)
-        a = vb.select(F.col("vid").alias("id_a"), F.col("v").alias("va"),
-                      "bucket")
-        b = vb.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"),
-                      "bucket")
-        joined = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+        from .ann import LSH_SEED, hyperplanes, with_lsh_bucket
+        dim = int(emb_df.select(F.size(F.col(vec_col)).alias("d"))
+                  .first()["d"])
+        pair_ids = None
+        for t in range(n_tables):
+            planes = hyperplanes(dim, n_planes, seed=LSH_SEED + 101 + t)
+            vb = with_lsh_bucket(v, planes, "v").select("vid", "lsh_bucket")
+            a = vb.select(F.col("vid").alias("id_a"), "lsh_bucket")
+            b = vb.select(F.col("vid").alias("id_b"), "lsh_bucket")
+            p = (a.join(b, "lsh_bucket")
+                 .filter(F.col("id_a") < F.col("id_b"))
+                 .select("id_a", "id_b"))
+            pair_ids = p if pair_ids is None else pair_ids.unionByName(p)
+        pair_ids = pair_ids.distinct()
+        joined = (pair_ids
+                  .join(v.select(F.col("vid").alias("id_a"),
+                                 F.col("v").alias("va")), "id_a")
+                  .join(v.select(F.col("vid").alias("id_b"),
+                                 F.col("v").alias("vb")), "id_b"))
     dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
     na = F.sqrt(F.aggregate(F.transform("va", lambda x: x * x),

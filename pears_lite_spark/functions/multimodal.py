@@ -45,10 +45,12 @@ FEATURES_SCHEMA = T.StructType([
 
 def _fake_decode(payload: bytes, kind: str) -> np.ndarray:
     """Deterministic stand-in for image-decode/feature-extract: FEATURE_DIM
-    doubles derived from the sha256 of the payload. Swap for a real
-    decoder (PIL / torchaudio / pyav) outside this sandbox."""
-    h = hashlib.sha256(kind.encode() + payload).digest()
-    arr = np.frombuffer(h[:FEATURE_DIM * 2], dtype=np.uint16).astype(np.float64)
+    doubles from sha256 over `kind + hex(payload)` (hex keeps the hash
+    input VARCHAR-expressible so the driver's DuckDB oracle can recompute
+    it bit-for-bit). Swap for a real decoder (PIL / torchaudio / pyav)
+    outside this sandbox."""
+    h = hashlib.sha256((kind + bytes(payload).hex()).encode()).digest()
+    arr = np.frombuffer(h[:FEATURE_DIM * 2], dtype="<u2").astype(np.float64)
     return arr / 65535.0
 
 

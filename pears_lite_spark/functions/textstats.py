@@ -28,23 +28,23 @@ def lang_id(docs_df: DataFrame, id_col: str = "doc_id",
     """(doc_id, pred_lang): argmax over language stopword profiles of
     hit counts (with multiplicity); fixed en<de<fr<es precedence on ties,
     'xx' when nothing hits — same rule as extract.detect_lang."""
-    tok = docs_df.select(id_col, F.explode(_words(text_col)).alias("w"))
-    counts = [
-        F.sum(F.when(F.col("w").isin(*sorted(LANG_STOPWORDS[lang])), 1)
-              .otherwise(0)).alias(f"hits_{lang}")
-        for lang in ("en", "de", "fr", "es")
-    ]
-    agg = tok.groupBy(id_col).agg(*counts)
-    best = F.greatest(*[F.col(f"hits_{lg}") for lg in ("en", "de", "fr", "es")])
+    # shuffle-free: hit counts (with multiplicity) as per-row array
+    # expressions — no explode, no groupBy, whole-stage codegen
+    # throughout; null text -> empty token array -> 'xx'
+    w = F.filter(F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                         r"\s+"), lambda x: x != "")
+    def _hits(words):
+        return F.size(F.filter(w, lambda x: x.isin(*words)))
+
+    hits = {lang: _hits(sorted(LANG_STOPWORDS[lang]))
+            for lang in ("en", "de", "fr", "es")}
+    best = F.greatest(*hits.values())
     pred = (F.when(best <= 0, "xx")
-            .when(F.col("hits_en") == best, "en")
-            .when(F.col("hits_de") == best, "de")
-            .when(F.col("hits_fr") == best, "fr")
+            .when(hits["en"] == best, "en")
+            .when(hits["de"] == best, "de")
+            .when(hits["fr"] == best, "fr")
             .otherwise("es"))
-    out = agg.select(id_col, pred.alias("pred_lang"))
-    # docs with no tokens at all -> 'xx'
-    return (docs_df.select(id_col).join(out, id_col, "left")
-            .withColumn("pred_lang", F.coalesce("pred_lang", F.lit("xx"))))
+    return docs_df.select(id_col, pred.alias("pred_lang"))
 
 
 def quality_scores(docs_df: DataFrame, id_col: str = "doc_id",

@@ -179,8 +179,15 @@ def csv_to_docs(spark: SparkSession, path: str,
     body = F.concat_ws(" ", *[
         F.concat(F.lit(f"{c}: "), F.coalesce(F.col(c), F.lit("")),
                  F.lit(".")) for c in cols])
-    w_id = F.monotonically_increasing_id()
+    # deterministic row number under ANY input partitioning (the
+    # reference embeds the sequential row id in the pseudo-URL —
+    # controllers.py:224-262; monotonically_increasing_id would be
+    # partition-dependent): row_number over the row's own column values.
+    # Global window = one-task sort, fine for this op's cardinality
+    # (human-curated CSV imports, not corpus-scale data).
+    w = Window.orderBy(*[F.col(c).asc_nulls_first() for c in cols])
     return df.select(
-        F.concat(F.lit(source_name + "#row ["), w_id.cast("string"),
+        F.concat(F.lit(source_name + "#row ["),
+                 (F.row_number().over(w) - 1).cast("string"),
                  F.lit("]")).alias("url"),
         body.alias("text"))

@@ -74,6 +74,77 @@ def test_brute_topk_matches_numpy(spark, emb):
     assert got == exp
 
 
+def test_jaccard_candidates_prune_before_shingle_join(spark, dup_docs):
+    """The candidates semi-join must land UPSTREAM of the shingle
+    self-join (the 100 TB guard): non-candidate docs never reach the
+    quadratic stage, and results equal the unpruned run restricted to
+    the candidate pairs."""
+    from pears_lite_spark.dedup import jaccard_pairs
+    cands = spark.createDataFrame([(1, 2), (1, 3)], "doc_a long, doc_b long")
+    pruned = jaccard_pairs(dup_docs, candidates=cands, n=3)
+    full = jaccard_pairs(dup_docs, n=3)
+    want = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in full.collect()
+            if (r["doc_a"], r["doc_b"]) in {(1, 2), (1, 3)}}
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pruned.collect()}
+    assert got == want
+    # the semi-join on doc_id must sit in the subtree FEEDING the
+    # shingle equi-join (plan toString prints children after parents,
+    # so its position is after the shingle join's)
+    plan = pruned._jdf.queryExecution().optimizedPlan().toString()
+    shingle_join = plan.find("= shingle#")
+    id_semi = plan.find("Join LeftSemi, (doc_id#")
+    assert shingle_join >= 0 and id_semi > shingle_join, plan
+
+
+def test_jaccard_hot_shingle_cap_bounds_pairs(spark):
+    """A stopword shingle shared by every doc must not explode the pair
+    space when max_shingle_df caps it."""
+    from pears_lite_spark.dedup import jaccard_pairs
+    # 30 docs all sharing one hot 2-gram, otherwise disjoint
+    rows = [(i, f"common prefix word{i}a word{i}b word{i}c") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = jaccard_pairs(df, n=2)
+    capped = jaccard_pairs(df, n=2, max_shingle_df=5)
+    assert uncapped.count() == 30 * 29 // 2   # quadratic without the cap
+    assert capped.count() == 0                # hot shingle dropped
+    # cap must not change pairs that share NON-hot shingles
+    rows2 = rows + [(100, "common prefix word0a word0b word0c")]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"]) for r in
+           jaccard_pairs(df2, n=2, max_shingle_df=5).collect()}
+    assert got == {(0, 100)}
+
+
+def test_embedding_lsh_bucket_occupancy_shrinks(spark, emb):
+    """More sign bits -> strictly smaller max bucket occupancy (the
+    quadratic-tail guard the 4-bit bucket lacked)."""
+    from pears_lite_spark.ann import hyperplanes, with_lsh_bucket
+    from pyspark.sql import functions as F
+    occ = {}
+    for bits in (2, 8):
+        planes = hyperplanes(64, bits, seed=7)
+        occ[bits] = (with_lsh_bucket(emb, planes)
+                     .groupBy("lsh_bucket").count()
+                     .agg(F.max("count")).collect()[0][0])
+    assert occ[8] < occ[2]
+
+
+def test_embedding_near_dup_lsh_recall_vs_exact(spark, emb):
+    """The multi-table LSH path must recover the exact near-dup pairs
+    at a high threshold (recall amplification across tables)."""
+    from pears_lite_spark.dedup import embedding_near_dup_pairs
+    # wide-angle threshold (0.35 -> theta ~1.21 rad -> per-bit agreement
+    # p ~0.61) needs shorter bucket keys + more tables than the 0.95
+    # near-dup default: expected recall 1-(1-p^3)^10 ~ 0.93
+    exact = {(r["id_a"], r["id_b"]) for r in embedding_near_dup_pairs(
+        emb, threshold=0.35, method="exact").collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in embedding_near_dup_pairs(
+        emb, threshold=0.35, method="lsh", n_planes=3,
+        n_tables=10).collect()}
+    assert lsh <= exact                      # verify stage is exact
+    assert len(lsh) >= 0.7 * len(exact), (len(lsh), len(exact))
+
+
 def test_embedding_near_dup_pairs_self_consistency(spark):
     from pears_lite_spark.dedup import embedding_near_dup_pairs
     rows = [(1, [1.0, 0.0, 0.0, 0.0] * 16, 0),
