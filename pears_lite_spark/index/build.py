@@ -204,6 +204,13 @@ TARGET_PART_ROWS = 4_000_000
 def _binary_array(data: bytes, offsets: np.ndarray) -> pa.Array:
     """Zero-copy Arrow binary array straight from (value buffer, int32
     offsets) — no per-block Python bytes objects."""
+    if offsets[-1] >= (1 << 31):
+        # int32 Arrow offsets would silently wrap -> corrupt index;
+        # fail loudly with the operational fix
+        raise ValueError(
+            f"slot partition value stream is {int(offsets[-1])} bytes "
+            f">= 2^31; raise n_partitions so each merge slot encodes "
+            f"< 2 GiB of postings")
     off = np.ascontiguousarray(offsets, dtype=np.int32)
     return pa.Array.from_buffers(
         pa.binary(), off.size - 1,
@@ -504,7 +511,14 @@ def _merge_factory(avgdl: float, block_size: int, with_positions: bool,
     merge-sort them by (term_id, doc_id) with one lexsort, re-align the
     flattened positions with a vectorized gather, and encode blocks via
     _runs_to_blocks. A (term_id, doc_range) group lives in exactly one
-    slot, so blocks come out identical to a global sort-based build."""
+    slot, so blocks come out identical to a global sort-based build.
+
+    Duplicate (term_id, doc_id) runs — duplicate URLs in a corpus, or
+    duplicate doc_id rows in a tokens input, landing in different phase-A
+    splits — are merged here (tf summed, position multisets unioned in
+    sorted order), matching what phase A already does when the duplicates
+    share a split; without this the WAND scorer could emit one doc twice
+    in a top-k while the exhaustive scorer summed them."""
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         Ts, Ds, TFs, DLs, Ps = [], [], [], [], []
@@ -539,6 +553,24 @@ def _merge_factory(avgdl: float, block_size: int, with_positions: bool,
             p2 = pp[gidx]
         else:
             p2 = None
+        if t2.size > 1:
+            dup = (t2[1:] == t2[:-1]) & (d2[1:] == d2[:-1])
+            if dup.any():
+                # rare path: collapse duplicate (term_id, doc_id) runs
+                first = np.concatenate(([True], ~dup))
+                keep = np.flatnonzero(first)
+                tf_m = np.add.reduceat(tf2, keep)
+                if p2 is not None:
+                    # adjacent runs' position slices are already
+                    # contiguous; sort only the merged groups' slices
+                    g_starts = np.zeros(keep.size, dtype=np.int64)
+                    np.cumsum(tf_m[:-1], out=g_starts[1:])
+                    runs_per_g = np.add.reduceat(
+                        np.ones(tf2.size, np.int64), keep)
+                    for g in np.flatnonzero(runs_per_g > 1):
+                        s0 = g_starts[g]
+                        p2[s0:s0 + tf_m[g]].sort()
+                t2, d2, dl2, tf2 = t2[keep], d2[keep], dl2[keep], tf_m
         rng2 = d2 >> range_shift
         newg = np.empty(t2.size, dtype=bool)
         newg[0] = True
@@ -691,7 +723,21 @@ def build_from_corpus(corpus_df: DataFrame, tokenizer: str = "spm",
                 .mapInArrow(_merge_factory(stats.avgdl, block_size,
                                            with_positions, range_shift),
                             schema=POSTING_SCHEMA))
+    # caller contract: the partials cache must be released once the
+    # postings are materialized — write_index does it automatically;
+    # other callers use release_build(postings)
+    postings._pears_partials = partials
     return postings, stats
+
+
+def release_build(postings: DataFrame) -> None:
+    """Unpersist the cached phase-A partials a build_from_corpus plan
+    pins (call AFTER materializing the postings — re-executing the plan
+    afterwards recomputes phase A). No-op for build_postings outputs."""
+    src = getattr(postings, "_pears_partials", None)
+    if src is not None:
+        src.unpersist()
+        postings._pears_partials = None
 
 
 def term_dictionary(tokens_df: DataFrame) -> DataFrame:
@@ -710,12 +756,21 @@ def write_index(postings: DataFrame, path: str,
                 n_buckets: int = DEFAULT_N_BUCKETS,
                 stats: CorpusStats | None = None) -> None:
     """Persist postings partitioned by term_bucket for query-time
-    partition pruning; stats sidecar as JSON."""
+    partition pruning; stats sidecar as JSON.
+
+    The exchange keys on (term_bucket, term_id) into >= slot-count
+    partitions — repartition("term_bucket") alone would cap write
+    parallelism at n_buckets tasks and inherit per-bucket skew; the
+    partitionBy writer still routes every row to its bucket directory,
+    and sortWithinPartitions keeps each output file term-ordered."""
+    spark = postings.sparkSession
+    n_out = max(n_buckets, spark.sparkContext.defaultParallelism)
     (postings
      .withColumn("term_bucket", F.pmod("term_id", F.lit(n_buckets)).cast("int"))
-     .repartition("term_bucket")
-     .sortWithinPartitions("term_id", "doc_range", "block_id")
+     .repartition(n_out, "term_bucket", "term_id")
+     .sortWithinPartitions("term_bucket", "term_id", "doc_range", "block_id")
      .write.mode("overwrite").partitionBy("term_bucket").parquet(path))
+    release_build(postings)
     if stats is not None:
         import json
         with open(os.path.join(path, "_stats.json"), "w") as fh:

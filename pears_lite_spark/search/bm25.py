@@ -385,15 +385,24 @@ class Searcher:
         if self._has_part:
             cols.append("part")
         spark = postings.sparkSession
+        base = postings.select(*cols)
         if n_partitions is None:
             # one task per doc_range shard (scatter width); more tasks
-            # than ranges only adds scheduling + worker roundtrips
-            n_rng = postings.select("doc_range").distinct().count()
+            # than ranges only adds scheduling + worker roundtrips.
+            # Materialize the base FIRST so a freshly-built (lazy)
+            # postings plan executes once, then derive the range count
+            # from the cache instead of re-running the whole build.
+            base = base.persist()
+            base.count()
+            n_rng = base.select("doc_range").distinct().count()
             n_partitions = max(1, min(
                 spark.sparkContext.defaultParallelism, n_rng))
-        self.df = (postings.select(*cols)
-                   .repartition(n_partitions, "doc_range").persist())
+        self.df = base.repartition(n_partitions, "doc_range").persist()
         self.df.count()
+        if base is not self.df:
+            base.unpersist()
+        from ..index.build import release_build
+        release_build(postings)
         self.term_dfs = term_dfs if term_dfs is not None else \
             collect_term_dfs(self.df)
 

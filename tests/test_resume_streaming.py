@@ -189,3 +189,34 @@ def test_build_from_corpus_matches_tokens_path(spark):
         cond = cond | (F.col(c) != F.col(c + "_n"))
     assert j.filter(cond).count() == 0
     assert o.count() == new.count() > 0
+
+
+def test_duplicate_doc_id_runs_merge_in_phase_b(spark):
+    """The same doc_id arriving in two phase-A splits must collapse to
+    ONE posting run (tf summed, positions union-sorted) — otherwise
+    WAND could emit a doc twice in top-k while the exhaustive scorer
+    silently summed it (ADVICE r01)."""
+    import numpy as np
+    from pears_lite_spark.index import codec
+    from pears_lite_spark.index.build import build_postings
+    from pears_lite_spark.xxh64 import xxh64_signed
+    d1 = spark.createDataFrame([(5, ["apple", "pear", "apple"])],
+                               "doc_id long, tokens array<string>")
+    d2 = spark.createDataFrame([(5, ["apple", "cherry"]), (7, ["apple"])],
+                               "doc_id long, tokens array<string>")
+    toks = d1.union(d2)   # doc 5 spans two input partitions
+    assert toks.rdd.getNumPartitions() >= 2
+    postings, stats = build_postings(toks)
+    apple = xxh64_signed("apple")
+    rows = [r for r in postings.collect() if r["term_id"] == apple]
+    docs = np.concatenate([codec.decode_block_docs(bytes(r["docs"]), r["n"])
+                           for r in rows])
+    tfs = np.concatenate([codec.decode_block_tfs(bytes(r["tfs"]), r["n"])
+                          for r in rows])
+    assert sorted(docs.tolist()) == [5, 7]          # no duplicate runs
+    assert dict(zip(docs.tolist(), tfs.tolist()))[5] == 3  # 2 + 1 merged
+    pos = {int(d): p for r in rows
+           for d, p in zip(codec.decode_block_docs(bytes(r["docs"]), r["n"]),
+                           codec.decode_block_positions(
+                               bytes(r["positions"]), r["n"]))}
+    assert pos[5].tolist() == [0, 0, 2]             # union, sorted
