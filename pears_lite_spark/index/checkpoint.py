@@ -135,6 +135,59 @@ def manifests(path: str) -> list[dict]:
     return out
 
 
+def stats_from_blocks(postings: DataFrame) -> CorpusStats:
+    """Exact corpus stats recovered from the index itself: decode the
+    (doc_id, dl) stream of every block, distinct per doc, aggregate.
+    Per-partition np.unique collapses the posting-level fan-out before
+    the shuffle, so only ~n_docs rows exchange."""
+    import pyarrow as pa
+
+    def kernel(batches):
+        Ds, Ls = [], []
+        for rb in batches:
+            d = rb.to_pydict()
+            for docs_b, dls_b, n in zip(d["docs"], d["dls"], d["n"]):
+                Ds.append(codec.decode_block_docs(docs_b, n))
+                Ls.append(codec.varint_decode(dls_b, n).astype(np.int64))
+        if Ds:
+            dd = np.concatenate(Ds)
+            ll = np.concatenate(Ls)
+            u, idx = np.unique(dd, return_index=True)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(u, pa.int64()), pa.array(ll[idx], pa.int64())],
+                names=["doc_id", "dl"])
+
+    pairs = (postings.select("docs", "dls", "n")
+             .mapInArrow(kernel, "doc_id long, dl long")
+             .dropDuplicates(["doc_id"]))
+    row = pairs.agg(F.count("*").alias("n"),
+                    F.sum("dl").alias("s")).collect()[0]
+    n = int(row["n"] or 0)
+    return CorpusStats(n_docs=n, avgdl=float(row["s"] or 0) / max(n, 1))
+
+
+def refresh_stats(spark: SparkSession, path: str) -> CorpusStats:
+    """Post-drain stats correction for a streamed/resumable index:
+    stream_build freezes the seed (N, avgdl) — BM25 impacts drift as
+    segments accumulate. Re-derive exact stats from the per-batch
+    manifests (n_docs + sum_dl, written by the streaming sink) or, for
+    manifests without doc stats, from the blocks themselves; rewrite
+    `_stats.json`. Pair with compact_index(..., stats=refreshed) to
+    re-encode max_impact metadata so a long-lived streamed index equals
+    a fresh batch build byte-for-byte."""
+    ms = manifests(path)
+    if ms and all("sum_dl" in m for m in ms):
+        n = sum(m["n_docs"] for m in ms)
+        s = sum(m["sum_dl"] for m in ms)
+        stats = CorpusStats(n_docs=n, avgdl=float(s) / max(n, 1))
+    else:
+        postings, _ = read_resumable(spark, path)
+        stats = stats_from_blocks(postings)
+    with open(os.path.join(path, "_stats.json"), "w") as fh:
+        json.dump({"n_docs": stats.n_docs, "avgdl": stats.avgdl}, fh)
+    return stats
+
+
 def compact_index(postings: DataFrame, stats: CorpusStats,
                   block_size: int = codec.BLOCK_SIZE) -> DataFrame:
     """Merge a multi-part index into one canonical segment: decode all

@@ -137,13 +137,19 @@ def cmd_query(args) -> int:
 
 def cmd_compact(args) -> int:
     from .index.build import write_index
-    from .index.checkpoint import compact_index
+    from .index.checkpoint import compact_index, refresh_stats
     spark = _spark("pears-compact")
     t0 = time.time()
     postings, stats = _read_any_index(spark, args.index)
+    if args.refresh_stats:
+        # post-drain correction: streamed segments carry the frozen
+        # seed (N, avgdl); recompute exact stats and re-encode impacts
+        stats = refresh_stats(spark, args.index)
     merged = compact_index(postings, stats)
     write_index(merged, args.output, stats=stats, n_buckets=args.n_buckets)
     _emit({"job": "compact", "index": args.index, "output": args.output,
+           "refreshed_stats": bool(args.refresh_stats),
+           "n_docs": stats.n_docs, "avgdl": round(stats.avgdl, 3),
            "seconds": round(time.time() - t0, 2)})
     return 0
 
@@ -178,6 +184,9 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--index", required=True)
     c.add_argument("--output", required=True)
     c.add_argument("--n-buckets", type=int, default=64)
+    c.add_argument("--refresh-stats", action="store_true",
+                   help="recompute exact (N, avgdl) from manifests/blocks "
+                        "before re-encoding (post-streaming-drain step)")
     c.set_defaults(fn=cmd_compact)
 
     args = p.parse_args(argv)

@@ -43,15 +43,23 @@ def _segment_writer(index_path: str, stats: CorpusStats,
     def write_batch(batch_df: DataFrame, batch_id: int):
         from ..index.build import with_doc_id
         docs = with_doc_id(batch_df)
-        toks = tokenizer(docs).select("doc_id", "tokens")
+        toks = (tokenizer(docs).select("doc_id", "tokens")
+                .persist())  # one tokenize pass feeds build + stats agg
         postings, _ = build_postings(toks, stats=stats,
                                      with_positions=with_positions)
         part_dir = os.path.join(index_path, f"part={batch_id}")
         postings.write.mode("overwrite").parquet(part_dir)
-        n_docs = docs.count()
+        # per-batch doc stats ride in the manifest so refresh_stats can
+        # correct the frozen seed (N, avgdl) after the drain without
+        # re-reading the corpus
+        agg = toks.agg(F.count("*").alias("n"),
+                       F.sum(F.size("tokens")).alias("sum_dl")).collect()[0]
+        toks.unpersist()
         with open(os.path.join(index_path, f"manifest_{batch_id}.json"),
                   "w") as fh:
-            json.dump({"partition": int(batch_id), "n_docs": int(n_docs),
+            json.dump({"partition": int(batch_id),
+                       "n_docs": int(agg["n"] or 0),
+                       "sum_dl": int(agg["sum_dl"] or 0),
                        "streaming": True}, fh)
 
     return write_batch
