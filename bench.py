@@ -220,14 +220,20 @@ def main():
         log(f"batch {len(qpieces)} queries: {t_batch:.2f}s "
             f"({sum(len(r) for r in res)} rows)")
 
-        # p50 single-query latency (sequential jobs, warm cache)
-        lat = []
-        for p in qpieces[:30]:
-            t0 = time.time()
-            searcher.search([p], k=10)
-            lat.append(time.time() - t0)
-        p50 = statistics.median(lat) * 1000
-        queries_sec["bm25_single_p50"] = round(statistics.median(lat), 4)
+        # p50 single-query latency (sequential jobs, warm cache);
+        # best-of-2 passes — same VM-noise protocol as the build legs
+        # (BASELINE.md "Scaling-measurement variance")
+        def p50_pass() -> float:
+            lat = []
+            for p in qpieces[:30]:
+                t0 = time.time()
+                searcher.search([p], k=10)
+                lat.append(time.time() - t0)
+            return statistics.median(lat)
+
+        p50_s = min(p50_pass(), p50_pass())
+        p50 = p50_s * 1000
+        queries_sec["bm25_single_p50"] = round(p50_s, 4)
         log(f"p50 single-query latency: {p50:.0f} ms")
 
         # dedup + analysis ops over the sf documents table

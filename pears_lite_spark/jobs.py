@@ -121,7 +121,10 @@ def cmd_query(args) -> int:
         queries = [v.encode_as_pieces(q) for q in raw]
     else:
         queries = [q.split() for q in raw]
-    searcher = Searcher(postings, stats)
+    # the decoded flat projection only pays off for interactive (few-
+    # query) serving; batch query files go through the WAND kernel
+    searcher = Searcher(postings, stats,
+                        flat_cache=len(raw) <= Searcher.FLAT_BATCH_MAX)
     t1 = time.time()
     results = searcher.search(queries, k=args.k)
     t2 = time.time()

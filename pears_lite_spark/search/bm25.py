@@ -353,6 +353,30 @@ def search_blocks(postings: DataFrame, stats: CorpusStats,
             .filter(F.col("rank") <= k))
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _scoped_conf(spark, kv: dict):
+    """Set session confs for one action, restoring previous values —
+    serving tweaks must not leak into batch jobs on the same session."""
+    old: dict = {}
+    for key, val in kv.items():
+        try:
+            old[key] = spark.conf.get(key)
+        except Exception:
+            old[key] = None
+        spark.conf.set(key, val)
+    try:
+        yield
+    finally:
+        for key, val in old.items():
+            if val is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, val)
+
+
 def collect_term_dfs(postings: DataFrame) -> dict[int, int]:
     """Precollect the term dictionary (term_id -> df) for serving —
     16k terms is a few hundred KB, the broadcast-stats pattern of
@@ -366,17 +390,35 @@ class Searcher:
 
     Build-time layout is term_bucket-partitioned (good for bulk scans);
     serving re-partitions the cached postings by doc_range so every
-    partition holds whole doc ranges. A query then needs NO shuffle:
-    one mapInArrow pass runs WAND per (query, doc_range) locally and the
-    driver merges the tiny per-range top-k lists — the same
-    scatter-gather shape a distributed search cluster uses (query fans
-    out to document shards, coordinator merges).
+    partition holds whole doc ranges. Two physical paths:
+
+    - **batch** (many queries): one mapInArrow job runs WAND/exhaustive
+      per (query, doc_range) locally and the driver merges the tiny
+      per-range top-k lists — amortizes the ~150 ms Python-runner setup
+      across the whole query batch.
+    - **single-query flat path**: a decoded JVM-side projection
+      (term_id, doc_range, doc_id, impact) cached sorted-by-term per
+      doc_range partition. A query is then PURE DataFrame algebra — an
+      isin filter (pruned against cached-batch term_id min/max stats),
+      a no-shuffle partial+final aggregate (hashpartitioning(doc_range)
+      satisfies the (doc_range, doc_id) clustering, and ranges are
+      disjoint), and a driver-side TakeOrdered merge. No Python worker
+      in the loop. Executed interpreted (codegen off, scoped): the
+      embedded query-term literals would force a fresh ~150-200 ms
+      Janino compile per query, which dwarfs interpreted evaluation
+      over the stat-pruned batches. Measured p50 ~115 ms vs ~300 ms
+      through the Python path at sf0.1 (100k docs).
+
+    The flat cache holds one row per posting (~3x the encoded blocks);
+    at cluster scale each executor caches only its own doc ranges
+    (MEMORY_AND_DISK), the standard price of a serving replica.
     """
 
     def __init__(self, postings: DataFrame, stats: CorpusStats,
                  term_dfs: dict[int, int] | None = None,
                  n_partitions: int | None = None,
-                 k1: float = K1, b: float = B):
+                 k1: float = K1, b: float = B,
+                 flat_cache: bool = True):
         self.stats = stats
         self.k1, self.b = k1, b
         self._has_part = "part" in postings.columns
@@ -405,11 +447,101 @@ class Searcher:
         release_build(postings)
         self.term_dfs = term_dfs if term_dfs is not None else \
             collect_term_dfs(self.df)
+        self.flat: DataFrame | None = None
+        if flat_cache:
+            self._build_flat_cache()
+
+    def _build_flat_cache(self) -> None:
+        """Decode the block cache into the JVM-side flat serving
+        projection (one Python pass at init, never again)."""
+        import pyarrow as pa
+        avgdl, k1, b = self.stats.avgdl, self.k1, self.b
+
+        def decode(batches):
+            for rb in batches:
+                d = rb.to_pydict()
+                ts, rs, ds, imps = [], [], [], []
+                for tid, rng, docs_b, tfs_b, dls_b, n in zip(
+                        d["term_id"], d["doc_range"], d["docs"],
+                        d["tfs"], d["dls"], d["n"]):
+                    dd = codec.decode_block_docs(docs_b, n)
+                    tf = codec.decode_block_tfs(tfs_b, n)
+                    dl = codec.varint_decode(dls_b, n).astype(np.int64)
+                    ts.append(np.full(dd.size, tid, np.int64))
+                    rs.append(np.full(dd.size, rng, np.int64))
+                    ds.append(dd)
+                    imps.append(codec.bm25_impact(tf, dl, avgdl, k1, b))
+                if ts:
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array(np.concatenate(ts)),
+                         pa.array(np.concatenate(rs)),
+                         pa.array(np.concatenate(ds)),
+                         pa.array(np.concatenate(imps))],
+                        names=["term_id", "doc_range", "doc_id", "impact"])
+
+        spark = self.df.sparkSession
+        n_parts = self.df.rdd.getNumPartitions()
+        # duplicate (term, doc) rows from multi-part segments sum
+        # correctly through the aggregate — no part column needed
+        flat = (self.df
+                .mapInArrow(decode, "term_id long, doc_range long, "
+                                    "doc_id long, impact double")
+                .repartition(n_parts, "doc_range")
+                .sortWithinPartitions("term_id", "doc_id"))
+        with _scoped_conf(spark, {
+                # bigger batches: the sort makes term_id min/max stats
+                # prune scans, so batch count dominates scan cost
+                "spark.sql.inMemoryColumnarStorage.batchSize": "65536"}):
+            self.flat = flat.persist()
+            self.flat.count()
+        self._view = f"pears_flat_{id(self)}"
+        self.flat.createOrReplaceTempView(self._view)
+
+    def _search_flat(self, terms: list[str], k: int) -> list[tuple[int, float]]:
+        """Single-query top-k through the pure-JVM flat path. One
+        spark.sql() string (a single py4j roundtrip; the DataFrame API
+        costs ~30 driver calls per query at this latency scale): an IN
+        filter the cached-batch stats prune, a CASE idf weighting, the
+        no-shuffle aggregate, and a TakeOrdered merge."""
+        from ..xxh64 import xxh64_signed
+        n_docs = self.stats.n_docs
+        qidf = {}
+        for t in set(terms):
+            tid = xxh64_signed(t)
+            df_ = self.term_dfs.get(tid, 0)
+            if df_ > 0:
+                qidf[tid] = idf(n_docs, df_)
+        if not qidf:
+            return []
+        tids = ",".join(str(t) for t in sorted(qidf))
+        case = " ".join(f"WHEN {t} THEN {w!r}"
+                        for t, w in sorted(qidf.items()))
+        sql = f"""SELECT doc_id, score FROM (
+  SELECT doc_range, doc_id,
+         sum(impact * CASE term_id {case} END) AS score
+  FROM {self._view} WHERE term_id IN ({tids})
+  GROUP BY doc_range, doc_id)
+ORDER BY score DESC, doc_id LIMIT {k}"""
+        with _scoped_conf(self.flat.sparkSession, {
+                # embedded query-term literals would trigger a fresh
+                # Janino compile per query (~150-200 ms); interpreted
+                # evaluation over the pruned batches is faster
+                "spark.sql.codegen.wholeStage": "false",
+                "spark.sql.codegen.factoryMode": "NO_CODEGEN",
+                "spark.sql.adaptive.enabled": "false"}):
+            rows = self.flat.sparkSession.sql(sql).collect()
+        return [(int(r["doc_id"]), float(r["score"])) for r in rows]
+
+    # below this many queries, per-query flat-path jobs beat one
+    # Python-runner batch job (~115 ms each vs ~300 ms + 40 ms/query)
+    FLAT_BATCH_MAX = 3
 
     def search(self, queries: list[list[str]], k: int = 10) -> list[list[tuple[int, float]]]:
         """Top-k per query: [(doc_id, score) ranked] per input query."""
         import pyarrow as pa
         from ..xxh64 import xxh64_signed
+        if self.flat is not None and 0 < len(queries) <= self.FLAT_BATCH_MAX:
+            return [self._search_flat(terms, k) for terms in queries]
         n_docs = self.stats.n_docs
         qmaps: list[dict[int, float]] = []
         for terms in queries:

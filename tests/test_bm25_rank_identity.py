@@ -103,3 +103,31 @@ def test_searcher_scatter_gather_rank_identity(index, oracle_docs,
         assert [d for d, _ in got] == [d for d, _ in exp], q
         for (gd, gs), (ed, es) in zip(got, exp):
             assert gs == pytest.approx(es, abs=1e-6), q
+
+
+def test_flat_jvm_path_rank_identity(index, oracle_docs, query_pieces):
+    """The single-query pure-JVM flat path (decoded impact projection,
+    no Python worker in the loop) must rank identically to the numpy
+    oracle AND to the batch mapInArrow path, scores equal to summation
+    order."""
+    from pears_lite_spark.search.bm25 import Searcher
+    postings, stats = index
+    s = Searcher(postings, stats)
+    assert s.flat is not None
+    queries = [p for _, p in query_pieces]
+    batch = s.search(queries, k=10)           # > FLAT_BATCH_MAX -> kernel
+    for (q, pieces), via_batch in zip(query_pieces, batch):
+        one = s.search([pieces], k=10)[0]     # routes through _search_flat
+        exp = bm25_topk_oracle(oracle_docs, pieces, 10)
+        assert [d for d, _ in one] == [d for d, _ in exp], q
+        assert [d for d, _ in one] == [d for d, _ in via_batch], q
+        for (gd, gs), (ed, es) in zip(one, exp):
+            assert gs == pytest.approx(es, abs=1e-6), q
+
+
+def test_flat_path_disabled_falls_back(index, query_pieces):
+    from pears_lite_spark.search.bm25 import Searcher
+    postings, stats = index
+    s = Searcher(postings, stats, flat_cache=False)
+    assert s.flat is None
+    assert s.search([query_pieces[0][1]], k=3)[0]  # batch kernel serves
