@@ -174,6 +174,43 @@ def _fixture_extract_expected_parquet() -> str:
     return path
 
 
+def _fixture_phrase_expected_parquet() -> str:
+    """Expected C6 phrase scores computed WITHOUT the index: pure-Python
+    tokenization + direct token-position adjacency over the synthetic
+    corpus. An independent oracle for the whole block pipeline — the
+    Spark query answers from encoded positions (build -> prune ->
+    decode), so a codec or pruning bug shows up as a mismatch."""
+    import os
+    import tempfile
+    path = os.path.join(tempfile.gettempdir(),
+                        "pears_phrase_expected.parquet")
+    if True:  # always rewrite (deterministic)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from .corpus import PHRASES, gen_corpus
+        from .search.parity import group_subwords, phrase_adjacency_score
+        from .vocab import get_vocab
+        from .xxh64 import xxh64_signed
+        v = get_vocab()
+        pdf = gen_corpus(240)
+        words = group_subwords(v.encode_as_pieces(PHRASES[0]))
+        need = sorted({p for w in words for p in w})
+        ids, scores = [], []
+        for url, text in zip(pdf["url"], pdf["text"]):
+            toks = v.encode_as_pieces(text) if isinstance(text, str) else []
+            posmap = {}
+            for i, t in enumerate(toks):
+                if t in need:
+                    posmap.setdefault(t, []).append(i)
+            if len(posmap) < len(need):
+                continue
+            ids.append(xxh64_signed(url))
+            scores.append(round(phrase_adjacency_score(words, posmap), 6))
+        pq.write_table(pa.table({"doc_id": ids, "phrase_score_r": scores}),
+                       path)
+    return path
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -679,8 +716,9 @@ def q_link_extract(spark, sf_dir):
 
 def q_phrase_c6_scores(spark, sf_dir):
     """C6: positional subword-adjacency phrase scoring straight from the
-    block index's encoded positions (rows-only; pytest holds the
-    oracle)."""
+    block index's encoded positions. Oracle = driver-side expected
+    scores from raw token positions (no index, no codec) — checks the
+    whole build->prune->decode->score pipeline end to end."""
     from .corpus import PHRASES, gen_corpus
     from .index.build import build_postings, tokenize_spm, with_doc_id
     from .search.phrase import phrase_scores_from_index
@@ -691,7 +729,9 @@ def q_phrase_c6_scores(spark, sf_dir):
                                                              "tokens")
     postings, stats = build_postings(toks)
     pieces = get_vocab().encode_as_pieces(PHRASES[0])
-    return phrase_scores_from_index(postings, pieces)
+    out = phrase_scores_from_index(postings, pieces)
+    return out.select("doc_id",
+                      F.round("phrase_score", 6).alias("phrase_score_r"))
 
 
 def q_csv_docs(spark, sf_dir):
@@ -1314,6 +1354,10 @@ SELECT url, ok, n_chars::BIGINT AS n_chars FROM read_parquet('{path}')""".format
             path=_fixture_extract_expected_parquet()),
 
         "ann_lsh_top10": _ann_lsh_oracle(),
+
+        "phrase_c6_scores": """
+SELECT doc_id, phrase_score_r FROM read_parquet('{path}')""".format(
+            path=_fixture_phrase_expected_parquet()),
 
         "pdf_extract": """
 WITH t AS (SELECT i::BIGINT AS doc_id,
