@@ -40,12 +40,15 @@ def test_contract_query_names_have_oracles_or_are_rowsonly():
     assert set(oracles) <= set(qs)
     assert len(qs) >= 20
     # every oracle reads a registered table, or is a table-free oracle
-    # over inline literals / self-provisioned fixture files
+    # over inline literals / generated rows / self-provisioned fixtures
     for name, sql in oracles.items():
         assert any(t in sql for t in ("documents", "embeddings", "events",
                                       "orders", "lineitem", "read_csv",
-                                      "read_text", "unnest(ARRAY[",
+                                      "read_text", "read_parquet",
+                                      "unnest(ARRAY[", "unnest(range(",
                                       "VALUES")), name
+    # round 2: every single query is value-checked — no rows-only left
+    assert set(oracles) == set(qs)
 
 
 def test_pdf_extract_roundtrip(spark):

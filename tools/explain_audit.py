@@ -104,6 +104,55 @@ def main(sf_dir: str):
           "blobs inside the tokenizing mapInPandas, so the only wide "
           "exchange moves packed bytes (see index/build.py docstring "
           "and BASELINE.md for the measured bridge economics).\n")
+
+    # 5. flat serving path: single stage, no exchange, pruned cache scan
+    from pears_lite_spark.search.bm25 import Searcher
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    s = Searcher(postings, stats)
+    q5 = (s.flat.filter(F.col("term_id").isin([1, 2]))
+          .groupBy("doc_range", "doc_id")
+          .agg(F.sum("impact").alias("sc"))
+          .orderBy(F.desc("sc")).limit(10))
+    t = q5._jdf.queryExecution().executedPlan().toString()
+    query_part = t.split("InMemoryRelation")[0]  # cache FILL plan excluded
+    print("## 5. Single-query flat serving path: one stage, no shuffle\n")
+    print("```")
+    for ln in query_part.splitlines():
+        print(ln.rstrip()[:100])
+    print("```")
+    no_exch = "Exchange" not in query_part
+    pruned5 = "InMemoryTableScan" in t and "IN (1,2)" in t
+    print(f"\nno exchange in the query (partial+final agg in one stage, "
+          f"hashpartitioning(doc_range) satisfies the clustering): "
+          f"{'OK' if no_exch else 'NO'}")
+    print(f"filter pushed into the cached-batch scan (min/max batch "
+          f"pruning over the term-sorted cache): "
+          f"{'OK' if pruned5 else 'NO'}\n")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    # 6. write_index exchange width: >= max(n_buckets, slots) partitions
+    n_out = max(64, spark.sparkContext.defaultParallelism)
+    w = (postings
+         .withColumn("term_bucket", F.pmod("term_id", F.lit(64)).cast("int"))
+         .repartition(n_out, "term_bucket", "term_id"))
+    t = w._jdf.queryExecution().executedPlan().toString()
+    line = [ln for ln in t.splitlines() if "hashpartitioning" in ln]
+    print("## 6. Index write: exchange keyed (term_bucket, term_id), "
+          "not capped at n_buckets\n")
+    print("```")
+    print("\n".join(ln.strip()[:110] for ln in line[:1]))
+    print("```")
+    okw = f"{n_out}" in (line[0] if line else "")
+    print(f"\nwrite exchange width {n_out} >= slot count: "
+          f"{'OK' if okw else 'CHECK'}\n")
+
+    # 7. lang_id: zero exchanges (per-row column algebra)
+    from pears_lite_spark.functions.textstats import lang_id
+    t = lang_id(docs)._jdf.queryExecution().executedPlan().toString()
+    print("## 7. lang_id: zero exchanges\n")
+    print("```")
+    print(f"Exchange nodes: {t.count('Exchange')}")
+    print("```\n")
     spark.stop()
 
 
