@@ -734,6 +734,49 @@ def q_phrase_c6_scores(spark, sf_dir):
                       F.round("phrase_score", 6).alias("phrase_score_r"))
 
 
+def q_web_fetch(spark, sf_dir):
+    """S2: distributed politeness-aware fetch. The HTTP call is
+    injected as a deterministic offline fake (fails for urls ending in
+    '3' to exercise error rows); host partitioning, rate limiting and
+    error-row plumbing are the real operator."""
+    from .sources import fetch_urls_df
+
+    def fake_fetch(url: str) -> bytes:
+        if url.endswith("3"):
+            raise ValueError("synthetic fetch failure")
+        return f"<html><title>{url}</title></html>".encode()
+
+    urls = spark.range(0, 40).select(
+        F.concat(F.lit("https://site"), (F.col("id") % 7).cast("string"),
+                 F.lit(".example/page"), F.col("id").cast("string"))
+        .alias("url"))
+    out = fetch_urls_df(urls, fetcher=fake_fetch, rate_limit_per_sec=1e6)
+    return out.select(
+        "url", "ok",
+        F.coalesce(F.length("html").cast("long"), F.lit(-1)).alias("n_bytes"),
+        F.coalesce("err", F.lit("")).alias("err"))
+
+
+def q_access_check(spark, sf_dir):
+    """S4: access check = robots gate composed onto a url list (urls on
+    blocked-or-unknown hosts never reach the fetcher)."""
+    from .sources import access_check
+    robots = spark.createDataFrame(ROBOTS_FIXTURES,
+                                   "site string, robots string")
+    urls = spark.createDataFrame(
+        [(f"https://{s}/p{j}",) for s, _ in ROBOTS_FIXTURES
+         for j in range(3)], "url string")
+    return access_check(urls, robots)
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    """SimHash near-dup pairs via band rotation (bucket join per band,
+    exact popcount verify) — the Hamming<=k companion of the exact
+    `simhash` groups."""
+    from .dedup import simhash_near_dup_pairs
+    return simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
 def q_csv_docs(spark, sf_dir):
     """S10: csv rows -> pseudo-documents."""
     from .sources import csv_to_docs
@@ -796,6 +839,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "url_list_scan": q_url_list_scan,
         "csv_docs": q_csv_docs,
+        "web_fetch": q_web_fetch,
+        "access_check": q_access_check,
+        "simhash_near_dups": q_simhash_near_dups,
         "spm_tokens": q_spm_tokens,
         "extract_parity": q_extract_parity,
         "ann_lsh_top10": q_ann_lsh_top10,
@@ -1320,6 +1366,57 @@ p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       FROM v a JOIN v b ON a.vec_id < b.vec_id)
 SELECT id_a, id_b, round(cosine, 5) AS cos_r FROM p
 WHERE cosine >= 0.35""",
+
+        "web_fetch": """
+WITH u AS (SELECT 'https://site' || (i % 7) || '.example/page' || i AS url
+           FROM (SELECT unnest(range(0, 40)) AS i))
+SELECT url,
+       NOT (url LIKE '%3') AS ok,
+       CASE WHEN url LIKE '%3' THEN -1
+            ELSE length('<html><title>' || url || '</title></html>')
+       END::BIGINT AS n_bytes,
+       CASE WHEN url LIKE '%3' THEN 'synthetic fetch failure'
+            ELSE '' END AS err
+FROM u""",
+
+        "access_check": """
+WITH t(site, robots) AS (VALUES {vals}),
+l AS (SELECT site, unnest(string_split(robots, chr(10))) AS ln,
+             generate_subscripts(string_split(robots, chr(10)), 1) AS i
+      FROM t),
+s AS (SELECT site, ln,
+        last_value(CASE WHEN ln LIKE '%User-agent%' THEN ln END IGNORE NULLS)
+          OVER (PARTITION BY site ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sec
+      FROM l),
+d AS (SELECT site, count(*)::BIGINT AS n_disallow FROM s
+      WHERE ln LIKE '%Disallow:%' AND sec LIKE '%User-agent: *%'
+      GROUP BY site),
+allowed AS (SELECT t.site FROM t LEFT JOIN d USING (site)
+            WHERE coalesce(d.n_disallow, 0) = 0),
+u AS (SELECT 'https://' || site || '/p' || j AS url, site
+      FROM t, (SELECT unnest(range(0, 3)) AS j))
+SELECT u.url FROM u JOIN allowed USING (site)""".format(
+            vals=", ".join(f"({_sql_str(s)}, {_sql_str(r)})"
+                           for s, r in ROBOTS_FIXTURES)),
+
+        "simhash_near_dups": f"""
+WITH tok AS ({_TOK_SQL}),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
+h AS (SELECT doc_id, c,
+             ('0x' || substr(md5(term), 1, 8))::BIGINT AS hv FROM tf),
+bits AS (SELECT doc_id, {simhash_sums} FROM h GROUP BY doc_id),
+f AS (SELECT doc_id, ({simhash_bits})::BIGINT AS simhash FROM bits),
+p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM f a JOIN f b ON a.doc_id < b.doc_id AND (
+           ((a.simhash >> 0) & 255) = ((b.simhash >> 0) & 255)
+        OR ((a.simhash >> 8) & 255) = ((b.simhash >> 8) & 255)
+        OR ((a.simhash >> 16) & 255) = ((b.simhash >> 16) & 255)
+        OR ((a.simhash >> 24) & 255) = ((b.simhash >> 24) & 255)))
+SELECT doc_a, doc_b,
+       bit_count(xor(fa.simhash, fb.simhash))::BIGINT AS hamming
+FROM p JOIN f fa ON fa.doc_id = doc_a JOIN f fb ON fb.doc_id = doc_b
+WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3""",
 
         "url_list_scan": """
 SELECT trim(c0) AS url,

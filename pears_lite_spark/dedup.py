@@ -26,10 +26,18 @@ DEFAULT_SHINGLE = 3
 def exact_dedup(docs_df: DataFrame, key_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id doc per identical `key_col` — hash-groupBy
-    dedup (P4's left_anti insert-dedup generalized to batch)."""
-    w = Window.partitionBy(key_col).orderBy(F.asc(id_col))
-    return (docs_df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1).drop("_rn"))
+    dedup (P4's left_anti insert-dedup generalized to batch).
+
+    The wide exchange moves only (md5(key), id) pairs; winners return
+    via a semi-join on the id. At corpus scale the text column dwarfs
+    the ids, so never shuffle it to find duplicates (a window over the
+    raw key would). md5 equality stands in for key equality (128-bit —
+    no practical collisions; nulls group together either way)."""
+    h = F.md5(F.col(key_col).cast("string")).alias("_h")
+    winners = (docs_df.select(h, F.col(id_col))
+               .groupBy("_h").agg(F.min(id_col).alias(id_col))
+               .select(id_col))
+    return docs_df.join(winners, id_col, "left_semi")
 
 
 def shingles(docs_df: DataFrame, n: int = DEFAULT_SHINGLE,
@@ -156,6 +164,39 @@ def simhash_dup_groups(docs_df: DataFrame) -> DataFrame:
             .agg(F.count("*").alias("n_docs"),
                  F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
             .filter(F.col("n_docs") > 1))
+
+
+def simhash_near_dup_pairs(docs_df: DataFrame,
+                           max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs within `max_hamming` bit flips, found by
+    band rotation (pigeonhole: fingerprints differing in <= k bits agree
+    EXACTLY on at least one of k+1 disjoint bands): bucket-join per
+    band on the band's bits — never the O(n^2) pair space — then exact
+    popcount verify on the candidate pairs.
+    (doc_a, doc_b, hamming:int as long)."""
+    fp = simhash32(docs_df)
+    bands = max_hamming + 1
+    width = 32 // bands
+    pairs = None
+    for i in range(bands):
+        lo = i * width
+        w = 32 - lo if i == bands - 1 else width
+        bits = F.shiftright(F.col("simhash"), lo).bitwiseAND((1 << w) - 1)
+        b = fp.select(F.col("doc_id"), bits.alias("bb"))
+        p = (b.alias("x").join(b.alias("y"), "bb")
+             .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+             .select(F.col("x.doc_id").alias("doc_a"),
+                     F.col("y.doc_id").alias("doc_b")))
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.distinct()
+    fa = fp.select(F.col("doc_id").alias("doc_a"),
+                   F.col("simhash").alias("ha"))
+    fb = fp.select(F.col("doc_id").alias("doc_b"),
+                   F.col("simhash").alias("hb"))
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (pairs.join(fa, "doc_a").join(fb, "doc_b")
+            .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))
 
 
 def embedding_near_dup_pairs(emb_df: DataFrame, threshold: float = 0.95,

@@ -67,6 +67,83 @@ def extract_links_df(corpus_df: DataFrame) -> DataFrame:
     return corpus_df.select("url", "html").mapInPandas(kernel, out_schema)
 
 
+def _default_fetcher(url: str) -> bytes:
+    """Real HTTP GET — import-gated; offline sandboxes inject a fake."""
+    from urllib.request import urlopen
+    with urlopen(url, timeout=10) as resp:  # pragma: no cover (no net)
+        return resp.read()
+
+
+def host_of(url_col) -> "F.Column":
+    """Registrable host of a URL (column expression)."""
+    return F.regexp_extract(url_col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)", 1)
+
+
+def fetch_urls_df(urls_df: DataFrame, fetcher=None,
+                  rate_limit_per_sec: float = 2.0,
+                  n_partitions: int | None = None) -> DataFrame:
+    """S2 web fetch (`/root/reference/app/indexer/htmlparser.py:33-52`)
+    as a distributed, politeness-aware operator.
+
+    The reference fetches one URL at a time in a Flask request; here the
+    url list is repartitioned BY HOST so each host's pages serialize
+    through one task (per-host politeness), hosts fan out across
+    executors, and each task token-buckets its request rate. The HTTP
+    call itself is injectable (`fetcher(url) -> bytes`); the default
+    urllib fetcher is import-gated for offline environments — tests and
+    the contract inject a deterministic fake, so the distributed
+    plumbing (host partitioning, rate limiting, error rows) is real and
+    checked while no sandbox network access is assumed.
+
+    Returns (url, ok:boolean, html:binary, err:string)."""
+    fetch = fetcher or _default_fetcher
+    out_schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("err", T.StringType()),
+    ])
+    min_interval = 1.0 / max(rate_limit_per_sec, 1e-6)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time
+        last = 0.0
+        for pdf in batches:
+            urls, oks, htmls, errs = [], [], [], []
+            for url in pdf["url"]:
+                wait = last + min_interval - time.monotonic()
+                if wait > 0:
+                    time.sleep(wait)
+                last = time.monotonic()
+                try:
+                    body = fetch(url)
+                    urls.append(url); oks.append(True)
+                    htmls.append(bytes(body)); errs.append(None)
+                except Exception as e:  # noqa: BLE001 - error row, not crash
+                    urls.append(url); oks.append(False)
+                    htmls.append(None); errs.append(str(e)[:200])
+            yield pd.DataFrame({"url": urls, "ok": oks, "html": htmls,
+                                "err": errs})
+
+    spark = urls_df.sparkSession
+    n = n_partitions or spark.sparkContext.defaultParallelism
+    return (urls_df.select("url")
+            .repartition(n, host_of(F.col("url")))
+            .mapInPandas(kernel, schema=out_schema))
+
+
+def access_check(urls_df: DataFrame, robots_df: DataFrame) -> DataFrame:
+    """S4 access check (`/root/reference/app/indexer/access.py:42-58`):
+    join each url's host against the S3 robots gate; urls on blocked
+    hosts (or hosts with no fetched robots.txt) are excluded before any
+    fetch. Returns the allowed subset of urls_df."""
+    gate = robots_gate(robots_df).filter(F.col("allowed")).select("site")
+    return (urls_df.withColumn("_host", host_of(F.col("url")))
+            .join(F.broadcast(gate),
+                  F.col("_host") == F.col("site"), "left_semi")
+            .drop("_host"))
+
+
 def bfs_frontier(edges_df: DataFrame, seeds_df: DataFrame,
                  max_depth: int = 3) -> DataFrame:
     """S5: the crawler's frontier loop (`/root/reference/app/indexer/

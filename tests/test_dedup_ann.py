@@ -155,3 +155,38 @@ def test_embedding_near_dup_pairs_self_consistency(spark):
              for r in embedding_near_dup_pairs(df, threshold=0.9).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.999
     assert (1, 3) not in pairs
+
+
+def test_exact_dedup_skinny_shuffle(spark, dup_docs):
+    """exact_dedup must not shuffle the text column: the exchange keys
+    on md5(text) over an (id, hash) projection; full rows come back via
+    a semi-join."""
+    from pears_lite_spark.dedup import exact_dedup
+    out = exact_dedup(dup_docs)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [1, 3, 4, 5]
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    agg_part = plan.split("Join LeftSemi")[1]  # winner subtree
+    assert "md5" in agg_part
+    assert "Aggregate" in agg_part
+
+
+def test_simhash_near_dup_band_rotation(spark, dup_docs):
+    """Hamming<=k pairs via band rotation: identical docs at distance 0,
+    the one-word-edit pair within a few bits, unrelated docs absent."""
+    from pears_lite_spark.dedup import simhash32, simhash_near_dup_pairs
+    import numpy as np
+    fps = {r["doc_id"]: r["simhash"] for r in simhash32(dup_docs).collect()}
+    d13 = bin(fps[1] ^ fps[3]).count("1")
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in simhash_near_dup_pairs(dup_docs,
+                                             max_hamming=8).collect()}
+    assert pairs[(1, 2)] == 0 and pairs[(5, 6)] == 0
+    if d13 <= 8:
+        assert pairs[(1, 3)] == d13
+    # exhaustive ground truth: band rotation must find EVERY pair
+    # within the bound (pigeonhole guarantees recall 1.0)
+    ids = sorted(fps)
+    expect = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+              if bin(fps[a] ^ fps[b]).count("1") <= 8}
+    assert set(pairs) == expect
