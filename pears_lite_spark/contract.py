@@ -368,6 +368,20 @@ def q_embedding_top10(spark, sf_dir):
     return out.select("vec_id", F.round("cosine", 5).alias("cos_r"))
 
 
+def q_knn_join(spark, sf_dir):
+    """Batch k-NN: top-3 neighbours for each of 5 query vectors in ONE
+    job (broadcast queries x cosine x rank window) — the distributed
+    form of the reference's neighbours op (`neighbours.py:10-33`)."""
+    from .ann import pairwise_topk_join
+    emb = _emb(spark, sf_dir)
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qvec")))
+    out = pairwise_topk_join(emb, queries, k=3)
+    return out.select("qid", "vec_id", F.round("cosine", 5).alias("cos_r"),
+                      F.col("rank").cast("long").alias("rank"))
+
+
 def q_pod_counts(spark, sf_dir):
     """A3/A4: docs per pod (pod == source column)."""
     return (_docs(spark, sf_dir).groupBy("source")
@@ -394,6 +408,15 @@ def q_events_hourly(spark, sf_dir):
                        F.date_trunc("hour", F.col("ts")).alias("hour"))
             .agg(F.count("*").alias("n"),
                  F.round(F.sum("value"), 4).alias("sum_value_r")))
+
+
+def q_events_sessions(spark, sf_dir):
+    """Gap-based session windows over the events table (Catalyst
+    session_window; the applyInPandasWithState stateful twin is
+    pytest-checked against this batch plan)."""
+    from .streaming.events import session_windows
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_windows(ev, gap="10 minutes")
 
 
 def q_bfs_reach(spark, sf_dir):
@@ -815,9 +838,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "fingerprints": q_fingerprints,
         "embedding_top10": q_embedding_top10,
+        "knn_join": q_knn_join,
         "pod_counts": q_pod_counts,
         "pod_top_terms": q_pod_top_terms,
         "events_hourly": q_events_hourly,
+        "events_sessions": q_events_sessions,
         "bfs_reach": q_bfs_reach,
         "doc_neighbours": q_doc_neighbours,
         "pod_rank": q_pod_rank,
@@ -1105,6 +1130,21 @@ nq AS (SELECT sum(qv * qv) AS s FROM q)
 SELECT vec_id, round(dot / (sqrt(ne) * sqrt(nq.s)), 5) AS cos_r
 FROM d, nq ORDER BY dot / (sqrt(ne) * sqrt(nq.s)) DESC, vec_id LIMIT 10""",
 
+        "knn_join": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+s AS (SELECT q.qid, e.vec_id,
+        list_dot_product(e.v, q.qv)
+        / (sqrt(list_dot_product(e.v, e.v))
+           * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+      FROM e, q),
+r AS (SELECT qid, vec_id, cosine,
+        row_number() OVER (PARTITION BY qid
+                           ORDER BY cosine DESC, vec_id) AS rank
+      FROM s)
+SELECT qid, vec_id, round(cosine, 5) AS cos_r, rank::BIGINT AS rank
+FROM r WHERE rank <= 3""",
+
         "pod_counts": """
 SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source""",
 
@@ -1122,6 +1162,19 @@ SELECT source, term, cnt, rnk::BIGINT AS rnk FROM r WHERE rnk <= 3""",
 SELECT event_type, date_trunc('hour', ts) AS hour,
        count(*)::BIGINT AS n, round(sum(value), 4) AS sum_value_r
 FROM events GROUP BY 1, 2""",
+
+        "events_sessions": """
+WITH o AS (SELECT event_type, ts, value,
+             lag(ts) OVER (PARTITION BY event_type ORDER BY ts) AS pts
+           FROM events),
+m AS (SELECT *, CASE WHEN pts IS NULL
+                       OR epoch_us(ts) - epoch_us(pts) >= 600000000
+                     THEN 1 ELSE 0 END AS brk FROM o),
+g AS (SELECT *, sum(brk) OVER (PARTITION BY event_type ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+SELECT event_type, min(ts) AS session_start, count(*)::BIGINT AS n,
+       round(sum(value), 4) AS sum_value_r
+FROM g GROUP BY event_type, sid""",
 
         "bfs_reach": """
 WITH RECURSIVE e AS (

@@ -276,3 +276,59 @@ def test_stream_refresh_compact_equals_fresh_build(spark, tmp_path):
         cond = cond | (F.col(c) != F.col(c + "_n"))
     assert j.filter(cond).count() == 0
     assert o.count() == compacted.count() > 0
+
+
+def test_stateful_sessionize_matches_batch_session_window(spark, tmp_path):
+    """The applyInPandasWithState sessionizer (custom stateful operator,
+    emit-on-close + event-time timeout) must agree with Catalyst's
+    batch session_window on every session it closes."""
+    import shutil
+    from pears_lite_spark.streaming.events import (session_windows,
+                                                   stream_sessionize)
+    # normalize to TIMESTAMP (the stream schema's type) so the batch
+    # twin and the streamed output compare type-exactly
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+                  "event_type", "value"))
+    from pyspark.sql import Window
+    src = str(tmp_path / "sess_in")
+    os.makedirs(src, exist_ok=True)
+    w = Window.orderBy("ts", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(w))
+    n = ranked.count()
+    for i in range(3):  # time-ordered arrival chunks
+        chunk_dir = str(tmp_path / f"sess{i}")
+        (ranked.filter((F.col("rn") > i * n // 3)
+                       & (F.col("rn") <= (i + 1) * n // 3))
+         .drop("rn").coalesce(1).write.parquet(chunk_dir))
+        part = glob.glob(f"{chunk_dir}/part-*.parquet")[0]
+        dst = f"{src}/part{i}.parquet"
+        shutil.move(part, dst)
+        # the file stream source orders micro-batches by modification
+        # time; make arrival order deterministic and time-ordered
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    out = str(tmp_path / "sess_out")
+    stream_sessionize(spark, src, out, str(tmp_path / "sess_ckpt"),
+                      gap_seconds=600)
+    got = (spark.read.parquet(out)
+           .select("event_type", "session_start", "n",
+                   F.round("sum_value", 4).alias("sum_value_r")))
+    # materialize: the PushDownLeftSemiAntiJoin rule would otherwise
+    # push the anti-join below the session aggregation and filter
+    # PARTIAL (pre-merge) sessions on their non-final starts (split
+    # sessions, observed on Spark 4.1 — see session_windows docstring)
+    batch = session_windows(ev, gap="10 minutes").cache()
+    batch.count()
+    # every closed session must match the batch twin exactly
+    j = (got.join(batch, ["event_type", "session_start"], "left")
+         .filter(batch["n"].isNull()
+                 | (got["n"] != batch["n"])
+                 | (got["sum_value_r"] != batch["sum_value_r"])))
+    assert got.count() > 0
+    assert j.count() == 0
+    # the only batch sessions it may miss are the per-key OPEN tails
+    # (at most one per event_type) the drain never timed out
+    missed = batch.join(got, ["event_type", "session_start"],
+                        "left_anti")
+    n_types = ev.select("event_type").distinct().count()
+    assert missed.count() <= n_types
