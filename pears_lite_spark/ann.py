@@ -104,6 +104,79 @@ def lsh_topk(emb_df: DataFrame, query_vec: list[float], k: int = 10,
     return brute_topk(cand, list(map(float, q)), k, id_col, vec_col)
 
 
+def lloyd_kmeans(X: np.ndarray, n_cells: int = 16, iters: int = 5,
+                 seed: int = LSH_SEED) -> np.ndarray:
+    """Deterministic Lloyd k-means (the IVF coarse quantizer). Pure
+    numpy so the driver's oracle can run the IDENTICAL training code;
+    at cluster scale you train on a bounded sample exactly like this —
+    the quantizer never needs the full corpus."""
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    for _ in range(iters):
+        # dist^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin over cells
+        d = -2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+        assign = d.argmin(axis=1)
+        for j in range(C.shape[0]):
+            m = assign == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+    return C
+
+
+def train_ivf_centroids(emb_df: DataFrame, n_cells: int = 16,
+                        n_train: int = 2048, iters: int = 5,
+                        seed: int = LSH_SEED,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> np.ndarray:
+    """Train the coarse quantizer on a deterministic sample (lowest
+    `n_train` ids — order-free and reproducible under any
+    partitioning)."""
+    rows = (emb_df.filter(F.col(id_col) < n_train)
+            .orderBy(id_col).select(vec_col).collect())
+    X = np.asarray([list(map(float, r[0])) for r in rows], dtype=np.float64)
+    return lloyd_kmeans(X, n_cells, iters, seed)
+
+
+def _cell_dists(vec, centroids: np.ndarray):
+    """Array of -2*v.c + ||c||^2 per centroid (||v||^2 is constant per
+    row so argmin is unaffected) — pure column algebra, no UDF."""
+    exprs = []
+    for c in centroids:
+        clit = F.array(*[F.lit(float(x)) for x in c])
+        c2 = float((c * c).sum())
+        exprs.append(-2.0 * _dot(vec, clit) + F.lit(c2))
+    return F.array(*exprs)
+
+
+def with_ivf_cell(emb_df: DataFrame, centroids: np.ndarray,
+                  vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its nearest centroid (`ivf_cell` int col,
+    ties -> lowest cell). At 100 TB `ivf_cell` is the partition /
+    cluster key of the vector table, so a probe prunes the scan to
+    nprobe cells."""
+    d = _cell_dists(_as_double(F.col(vec_col)), centroids)
+    cell = F.array_position(d, F.array_min(d)).cast("int") - 1
+    return emb_df.withColumn("ivf_cell", cell)
+
+
+def ivf_topk(emb_df: DataFrame, query_vec: list[float], k: int = 10,
+             nprobe: int = 4, centroids: np.ndarray | None = None,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF-Flat ANN: probe the `nprobe` cells nearest the query, exact
+    cosine re-rank inside them (Jégou et al. 2011's inverted-file
+    design, minus the product-quantization compression)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(emb_df, id_col=id_col,
+                                        vec_col=vec_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    d = -2.0 * (centroids @ q) + (centroids * centroids).sum(axis=1)
+    probe = sorted(int(i) for i in np.argsort(d, kind="stable")[:nprobe])
+    cand = (with_ivf_cell(emb_df, centroids, vec_col)
+            .filter(F.col("ivf_cell").isin(probe)).drop("ivf_cell"))
+    return brute_topk(cand, [float(x) for x in q], k, id_col, vec_col)
+
+
 def pairwise_topk_join(emb_df: DataFrame, queries_df: DataFrame,
                        k: int = 10) -> DataFrame:
     """Batch k-NN: for every row of queries_df(qid, qvec) return its

@@ -382,6 +382,22 @@ def q_knn_join(spark, sf_dir):
                       F.col("rank").cast("long").alias("rank"))
 
 
+def q_ivf_top10(spark, sf_dir):
+    """IVF-Flat ANN: deterministic numpy-Lloyd coarse quantizer
+    (trained on a bounded id-ordered sample of the sf table), column-
+    algebra cell assignment, nprobe-cell probe, exact cosine re-rank.
+    The oracle runs the IDENTICAL training code on the sf0.01 table
+    (the scale the driver's gate runs at) and mirrors assignment +
+    probe + re-rank in SQL with literal centroids."""
+    from .ann import ivf_topk, train_ivf_centroids
+    emb = _emb(spark, sf_dir)
+    cents = train_ivf_centroids(emb)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    out = ivf_topk(emb, [float(x) for x in qvec], k=10, nprobe=4,
+                   centroids=cents)
+    return out.select("vec_id", F.round("cosine", 5).alias("cos_r"))
+
+
 def q_pod_counts(spark, sf_dir):
     """A3/A4: docs per pod (pod == source column)."""
     return (_docs(spark, sf_dir).groupBy("source")
@@ -838,6 +854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "fingerprints": q_fingerprints,
         "embedding_top10": q_embedding_top10,
+        "ivf_top10": q_ivf_top10,
         "knn_join": q_knn_join,
         "pod_counts": q_pod_counts,
         "pod_top_terms": q_pod_top_terms,
@@ -886,6 +903,48 @@ def _in_list(words) -> str:
 def _sql_str(s: str) -> str:
     """SQL string literal (embedded newlines stay literal)."""
     return "'" + s.replace("'", "''") + "'"
+
+
+def _ivf_oracle() -> str:
+    """SQL twin of q_ivf_top10 at the gate's scale (sf0.01): train the
+    same quantizer with the same pure-numpy Lloyd code, inline the
+    centroids as literals, mirror assignment (argmin of
+    -2*v.c + ||c||^2, first-min tie-break), probe and re-rank."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from .ann import lloyd_kmeans
+    tbl = pq.read_table("/root/testdata/sf0.01/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    vid = np.asarray(tbl["vec_id"])
+    order = np.argsort(vid, kind="stable")
+    X = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)[order]
+    sel = vid[order] < 2048
+    C = lloyd_kmeans(X[sel], n_cells=16, iters=5)
+    q = X[vid[order] == 0][0]
+    d = -2.0 * (C @ q) + (C * C).sum(axis=1)
+    probe = sorted(int(i) for i in np.argsort(d, kind="stable")[:4])
+
+    def arr(c):
+        return "[" + ", ".join(repr(float(x)) for x in c) + "]"
+
+    dlist = "[" + ", ".join(
+        f"-2.0 * list_dot_product(v, {arr(c)}) + {float((c * c).sum())!r}"
+        for c in C) + "]"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+a AS (SELECT vec_id, v,
+        list_indexof({dlist}, list_aggregate({dlist}, 'min')) - 1 AS cell
+      FROM e),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+cand AS (SELECT vec_id, v FROM a
+         WHERE cell IN ({", ".join(map(str, probe))})),
+s AS (SELECT cand.vec_id,
+        list_dot_product(cand.v, q.qv)
+        / (sqrt(list_dot_product(cand.v, cand.v))
+           * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+      FROM cand, q)
+SELECT vec_id, round(cosine, 5) AS cos_r FROM s
+ORDER BY cosine DESC, vec_id LIMIT 10"""
 
 
 def _ann_lsh_oracle() -> str:
@@ -1504,6 +1563,8 @@ SELECT url, ok, n_chars::BIGINT AS n_chars FROM read_parquet('{path}')""".format
             path=_fixture_extract_expected_parquet()),
 
         "ann_lsh_top10": _ann_lsh_oracle(),
+
+        "ivf_top10": _ivf_oracle(),
 
         "phrase_c6_scores": """
 SELECT doc_id, phrase_score_r FROM read_parquet('{path}')""".format(

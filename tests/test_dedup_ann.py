@@ -190,3 +190,25 @@ def test_simhash_near_dup_band_rotation(spark, dup_docs):
     expect = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
               if bin(fps[a] ^ fps[b]).count("1") <= 8}
     assert set(pairs) == expect
+
+
+def test_ivf_topk_recall_and_pruning(spark, emb):
+    """IVF-Flat: probing nprobe cells must recover most of the exact
+    top-k and scan only the probed cells' vectors."""
+    from pears_lite_spark.ann import (brute_topk, ivf_topk,
+                                      train_ivf_centroids, with_ivf_cell)
+    cents = train_ivf_centroids(emb, n_cells=8)
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 3).collect()[0]["embedding"]]
+    exact = [r["vec_id"] for r in brute_topk(emb, qvec, 10).collect()]
+    approx = [r["vec_id"] for r in
+              ivf_topk(emb, qvec, 10, nprobe=3, centroids=cents).collect()]
+    assert approx[0] == 3                       # self lives in a probed cell
+    assert len(set(exact) & set(approx)) >= 5   # recall with 3/8 cells
+    # assignment is total and balanced enough to prune
+    cells = with_ivf_cell(emb, cents).groupBy("ivf_cell").count().collect()
+    assert sum(r["count"] for r in cells) == emb.count()
+    assert max(r["count"] for r in cells) < emb.count()  # >1 cell in use
+    # deterministic training
+    c2 = train_ivf_centroids(emb, n_cells=8)
+    assert (cents == c2).all()
