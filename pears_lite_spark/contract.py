@@ -355,6 +355,32 @@ def q_quality(spark, sf_dir):
         F.round("quality", 6).alias("quality_r"))
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (distinct-token fraction, top-
+    bigram coverage)."""
+    from .functions.textstats import repetition_scores
+    return repetition_scores(_docs(spark, sf_dir))
+
+
+def q_redact_pii(spark, sf_dir):
+    """PII scrubbing: deterministic email/IP injection over the docs
+    table, then count+redact; clean text compared via md5."""
+    from .functions.textstats import redact_pii
+    docs = _docs(spark, sf_dir)
+    aug = docs.withColumn("text", F.concat(
+        F.coalesce("text", F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit(" mail u"), F.col("doc_id").cast("string"),
+                        F.lit("@ex.org"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit(" ip 10.0."),
+                        (F.col("doc_id") % 200).cast("string"),
+                        F.lit(".7 end"))).otherwise(F.lit(""))))
+    out = redact_pii(aug)
+    return out.select("doc_id", "n_emails", "n_ips",
+                      F.md5("clean").alias("clean_md5"))
+
+
 def q_fingerprints(spark, sf_dir):
     from .functions.textstats import fingerprints
     return fingerprints(_docs(spark, sf_dir))
@@ -852,6 +878,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "lang_id": q_lang_id,
         "quality": q_quality,
+        "repetition": q_repetition,
+        "redact_pii": q_redact_pii,
         "fingerprints": q_fingerprints,
         "embedding_top10": q_embedding_top10,
         "ivf_top10": q_ivf_top10,
@@ -1162,6 +1190,48 @@ SELECT doc_id, n_chars, n_tokens,
     + 0.3 * (1.0 - least(punct_ratio * 5, 1.0))
     + 0.3 * least(n_tokens / 100.0, 1.0) END, 6) AS quality_r
 FROM m""",
+
+        "repetition": """
+WITH base AS (SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents),
+m AS (SELECT doc_id, len(w)::BIGINT AS n_tokens,
+        CASE WHEN len(w) > 0
+             THEN len(list_distinct(w))::DOUBLE / len(w)
+             ELSE 0.0 END AS dfrac, w FROM base),
+bg AS (SELECT doc_id,
+         unnest(list_transform(range(1, len(w)),
+                               i -> w[i] || ' ' || w[i+1])) AS bg
+       FROM m WHERE len(w) >= 2),
+c AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+t AS (SELECT doc_id, max(c) AS top_bg FROM c GROUP BY doc_id)
+SELECT m.doc_id, n_tokens, round(dfrac, 6) AS distinct_frac_r,
+  round(CASE WHEN n_tokens > 0
+             THEN coalesce(top_bg * 2.0, 0.0) / n_tokens
+             ELSE 0.0 END, 6) AS top_bigram_frac_r
+FROM m LEFT JOIN t USING (doc_id)""",
+
+        "redact_pii": """
+WITH aug AS (SELECT doc_id,
+    coalesce(text, '')
+    || CASE WHEN doc_id % 5 = 0 THEN ' mail u' || doc_id || '@ex.org'
+            ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ' ip 10.0.' || (doc_id % 200) || '.7 end'
+            ELSE '' END AS t
+  FROM documents),
+e AS (SELECT doc_id,
+        len(regexp_extract_all(t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT
+          AS n_emails,
+        regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g') AS c1
+      FROM aug)
+SELECT doc_id, n_emails,
+  len(regexp_extract_all(c1,
+      '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b'))::BIGINT AS n_ips,
+  md5(regexp_replace(c1, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '[IP]', 'g'))
+    AS clean_md5
+FROM e""",
 
         "fingerprints": """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -82,6 +82,54 @@ def token_counts(docs_df: DataFrame, id_col: str = "doc_id",
     return docs_df.select(id_col, ws.alias("ws_tokens"), bpe.alias("bpe_tokens"))
 
 
+def repetition_scores(docs_df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per doc: token count, distinct-
+    token fraction, and the token fraction covered by the most frequent
+    word bigram. distinct_frac is pure array algebra (no shuffle); the
+    top-bigram needs one groupBy keyed by doc_id — partition-local after
+    a corpus-partitioned scan, never corpus-wide."""
+    w = _words(text_col)
+    base = docs_df.select(
+        id_col, F.size(w).alias("n_tokens"),
+        F.when(F.size(w) > 0,
+               F.size(F.array_distinct(w)) / F.size(w))
+        .otherwise(F.lit(0.0)).alias("distinct_frac"),
+        w.alias("_w"))
+    idx = F.sequence(F.lit(0), F.size("_w") - 2)
+    bg = F.transform(idx, lambda i: F.concat_ws(" ", F.slice("_w", i + 1, 2)))
+    bigrams = (base.filter(F.size("_w") >= 2)
+               .select(id_col, F.explode(bg).alias("bg"))
+               .groupBy(id_col, "bg").agg(F.count("*").alias("c"))
+               .groupBy(id_col).agg(F.max("c").alias("top_bg")))
+    return (base.drop("_w").join(bigrams, id_col, "left")
+            .select(id_col, F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.round("distinct_frac", 6).alias("distinct_frac_r"),
+                    F.round(F.when(F.col("n_tokens") > 0,
+                                   F.coalesce(F.col("top_bg") * 2.0, F.lit(0.0))
+                                   / F.col("n_tokens"))
+                            .otherwise(0.0), 6).alias("top_bigram_frac_r")))
+
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+
+
+def redact_pii(docs_df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Training-data scrubbing: count and redact email / IPv4 literals
+    (regexp column algebra, zero shuffle). Returns (doc_id, n_emails,
+    n_ips, clean) with `[EMAIL]` / `[IP]` placeholders."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), 0))
+    clean1 = F.regexp_replace(t, PII_EMAIL_RE, "[EMAIL]")
+    n_ips = F.size(F.regexp_extract_all(clean1, F.lit(PII_IPV4_RE), 0))
+    clean = F.regexp_replace(clean1, PII_IPV4_RE, "[IP]")
+    return docs_df.select(
+        id_col, n_emails.cast("long").alias("n_emails"),
+        n_ips.cast("long").alias("n_ips"), clean.alias("clean"))
+
+
 def fingerprints(docs_df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", shingle_n: int = 5,
                  window: int = 4) -> DataFrame:
