@@ -157,6 +157,55 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_pipeline(args) -> int:
+    """End-to-end training-data pipeline: corpus -> extract -> quality
+    filter -> exact + MinHash-LSH dedup -> block index. One declarative
+    plan per stage; every stage is the same operator the contract
+    checks."""
+    from .dedup import exact_dedup, jaccard_pairs, lsh_candidate_pairs
+    from .functions.extract import extract_df
+    from .functions.textstats import quality_scores
+    from .index.build import (build_postings, tokenize_spm,
+                              tokenize_whitespace, with_doc_id, write_index)
+    from pyspark.sql import functions as F
+    spark = _spark("pears-pipeline")
+    t0 = time.time()
+    corpus = spark.read.parquet(args.input)
+    docs = corpus
+    if "html" in corpus.columns:
+        docs = extract_df(corpus)
+    docs = with_doc_id(docs).select("doc_id", "url", "text").persist()
+    n_raw = docs.count()
+    # quality gate
+    q = quality_scores(docs)
+    kept_ids = q.filter(F.col("quality") >= args.min_quality) \
+                .select("doc_id")
+    docs_q = docs.join(kept_ids, "doc_id", "left_semi")
+    # exact dedup, then near-dup removal (keep lowest doc_id of a pair)
+    docs_d = exact_dedup(docs_q)
+    cands = lsh_candidate_pairs(docs_d, num_hashes=args.minhash_k,
+                                bands=args.minhash_bands)
+    near = jaccard_pairs(docs_d, candidates=cands,
+                         threshold=args.jaccard_threshold)
+    drop = near.select(F.col("doc_b").alias("doc_id")).distinct()
+    clean = docs_d.join(drop, "doc_id", "left_anti").persist()
+    n_clean = clean.count()
+    tokenizer = tokenize_spm if args.tokenizer == "spm" \
+        else tokenize_whitespace
+    toks = tokenizer(clean.select("doc_id", "text")) \
+        .select("doc_id", "tokens")
+    postings, stats = build_postings(toks)
+    write_index(postings, args.output, stats=stats,
+                n_buckets=args.n_buckets)
+    dt = time.time() - t0
+    _emit({"job": "pipeline", "input": args.input, "output": args.output,
+           "n_raw": int(n_raw), "n_indexed": int(n_clean),
+           "dropped": int(n_raw - n_clean),
+           "n_docs": stats.n_docs, "avgdl": round(stats.avgdl, 3),
+           "seconds": round(dt, 2)})
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(
         prog="pears-jobs",
@@ -191,6 +240,18 @@ def main(argv: list[str] | None = None) -> int:
                    help="recompute exact (N, avgdl) from manifests/blocks "
                         "before re-encoding (post-streaming-drain step)")
     c.set_defaults(fn=cmd_compact)
+
+    pl = sub.add_parser("pipeline",
+                        help="corpus -> quality filter -> dedup -> index")
+    pl.add_argument("--input", required=True)
+    pl.add_argument("--output", required=True)
+    pl.add_argument("--tokenizer", default="spm", choices=["spm", "ws"])
+    pl.add_argument("--min-quality", type=float, default=0.3)
+    pl.add_argument("--jaccard-threshold", type=float, default=0.85)
+    pl.add_argument("--minhash-k", type=int, default=16)
+    pl.add_argument("--minhash-bands", type=int, default=4)
+    pl.add_argument("--n-buckets", type=int, default=64)
+    pl.set_defaults(fn=cmd_pipeline)
 
     args = p.parse_args(argv)
     return args.fn(args)
