@@ -799,6 +799,25 @@ def q_phrase_c6_scores(spark, sf_dir):
                       F.round("phrase_score", 6).alias("phrase_score_r"))
 
 
+CANON_URLS = [
+    "HTTP://Example.COM:80/A/b?x=1#frag",
+    "https://EX.com:443/",
+    "https://ex.com",
+    "https://ex.com:8080/x#y",
+    "ftp://HOST.x/P",
+    "relative/no-scheme",
+    "http://a.b:80",
+    "https://A.example/path/?q=Z#z",
+]
+
+
+def q_canonical_urls(spark, sf_dir):
+    """Crawl-dedup URL canonicalization over messy fixture urls."""
+    from .sources import canonical_url
+    df = spark.createDataFrame([(u,) for u in CANON_URLS], "url string")
+    return df.select("url", canonical_url("url").alias("canonical"))
+
+
 def q_web_fetch(spark, sf_dir):
     """S2: distributed politeness-aware fetch. The HTTP call is
     injected as a deterministic offline fake (fails for urls ending in
@@ -909,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "url_list_scan": q_url_list_scan,
         "csv_docs": q_csv_docs,
+        "canonical_urls": q_canonical_urls,
         "web_fetch": q_web_fetch,
         "access_check": q_access_check,
         "simhash_near_dups": q_simhash_near_dups,
@@ -1548,6 +1568,26 @@ p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       FROM v a JOIN v b ON a.vec_id < b.vec_id)
 SELECT id_a, id_b, round(cosine, 5) AS cos_r FROM p
 WHERE cosine >= 0.35""",
+
+        "canonical_urls": """
+WITH u AS (SELECT unnest(ARRAY[{urls}]) AS url),
+nf AS (SELECT url, regexp_replace(url, '#.*$', '') AS b FROM u),
+p AS (SELECT url, b,
+        lower(regexp_extract(b, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+        lower(regexp_extract(b, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))
+          AS h,
+        regexp_extract(b, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$', 1)
+          AS rest
+      FROM nf)
+SELECT url,
+  CASE WHEN sch = '' THEN url
+       ELSE sch || '://' ||
+            (CASE WHEN sch = 'http' THEN regexp_replace(h, ':80$', '')
+                  WHEN sch = 'https' THEN regexp_replace(h, ':443$', '')
+                  ELSE h END) ||
+            (CASE WHEN rest = '' THEN '/' ELSE rest END)
+  END AS canonical
+FROM p""".format(urls=", ".join(repr(u) for u in CANON_URLS)),
 
         "web_fetch": """
 WITH u AS (SELECT 'https://site' || (i % 7) || '.example/page' || i AS url

@@ -67,6 +67,28 @@ def extract_links_df(corpus_df: DataFrame) -> DataFrame:
     return corpus_df.select("url", "html").mapInPandas(kernel, out_schema)
 
 
+def canonical_url(u) -> "F.Column":
+    """Crawl-dedup URL canonicalization as pure column algebra:
+    lowercase scheme+host, strip the fragment, drop default ports
+    (:80 http / :443 https), '/' for an empty path. Non-URL strings
+    (no scheme) pass through unchanged. Every rule is a regexp both
+    engines evaluate identically (contract: canonical_urls)."""
+    u = F.col(u) if isinstance(u, str) else u
+    no_frag = F.regexp_replace(u, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(
+        no_frag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(
+        no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    host = (F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))
+            .when(scheme == "https", F.regexp_replace(host, ":443$", ""))
+            .otherwise(host))
+    rest = F.regexp_extract(
+        no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$", 1)
+    rest = F.when(rest == "", "/").otherwise(rest)
+    return (F.when(scheme == "", u)
+            .otherwise(F.concat(scheme, F.lit("://"), host, rest)))
+
+
 def _default_fetcher(url: str) -> bytes:
     """Real HTTP GET — import-gated; offline sandboxes inject a fake."""
     from urllib.request import urlopen
