@@ -174,6 +174,11 @@ def simhash_near_dup_pairs(docs_df: DataFrame,
     band on the band's bits — never the O(n^2) pair space — then exact
     popcount verify on the candidate pairs.
     (doc_a, doc_b, hamming:int as long)."""
+    if not 0 <= max_hamming <= 7:
+        # 8+ bands over 32 bits -> <=4-bit band keys -> the bucket join
+        # degenerates toward all-pairs; use MinHash-LSH for looser
+        # similarity instead
+        raise ValueError("max_hamming must be in [0, 7]")
     fp = simhash32(docs_df)
     bands = max_hamming + 1
     width = 32 // bands

@@ -105,9 +105,10 @@ def sessionize_stateful(events: DataFrame, gap_seconds: int = 600,
             yield emit(s)
             return
         rows = pd.concat(list(pdfs))
-        ts_us = rows["ts"].astype("int64").to_numpy()  # ns -> us below
-        order = ts_us.argsort(kind="stable")
-        ts_us = ts_us[order] // 1000
+        # robust to pandas delivering datetime64[ns] or [us]
+        ts_ns = rows["ts"].to_numpy(dtype="datetime64[ns]").astype("int64")
+        order = ts_ns.argsort(kind="stable")
+        ts_us = ts_ns[order] // 1000
         vals = rows["value"].to_numpy()[order]
         cur = tuple(state.get) if state.exists else None
         for t, v in zip(ts_us, vals):
@@ -118,6 +119,8 @@ def sessionize_stateful(events: DataFrame, gap_seconds: int = 600,
                 cur = (int(t), int(t), 1, float(v))
             else:
                 cur = (cur[0], int(t), cur[2] + 1, cur[3] + float(v))
+        if cur is None:
+            return  # defensive: nothing delivered, nothing to keep
         state.update(cur)
         # event-time timeout: fires once the watermark passes last+gap
         state.setTimeoutTimestamp(cur[1] // 1000 + gap_seconds * 1000)

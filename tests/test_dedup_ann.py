@@ -180,16 +180,19 @@ def test_simhash_near_dup_band_rotation(spark, dup_docs):
     d13 = bin(fps[1] ^ fps[3]).count("1")
     pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
              for r in simhash_near_dup_pairs(dup_docs,
-                                             max_hamming=8).collect()}
+                                             max_hamming=7).collect()}
     assert pairs[(1, 2)] == 0 and pairs[(5, 6)] == 0
-    if d13 <= 8:
+    if d13 <= 7:
         assert pairs[(1, 3)] == d13
     # exhaustive ground truth: band rotation must find EVERY pair
     # within the bound (pigeonhole guarantees recall 1.0)
     ids = sorted(fps)
     expect = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
-              if bin(fps[a] ^ fps[b]).count("1") <= 8}
+              if bin(fps[a] ^ fps[b]).count("1") <= 7}
     assert set(pairs) == expect
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        simhash_near_dup_pairs(dup_docs, max_hamming=9)
 
 
 def test_ivf_topk_recall_and_pruning(spark, emb):
