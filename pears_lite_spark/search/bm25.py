@@ -412,6 +412,11 @@ class Searcher:
     The flat cache holds one row per posting (~3x the encoded blocks);
     at cluster scale each executor caches only its own doc ranges
     (MEMORY_AND_DISK), the standard price of a serving replica.
+
+    A Searcher is a single-threaded serving handle: the flat path
+    scopes session confs around its action, so interleave calls from
+    one thread (or give each thread its own SparkSession). `close()`
+    releases both caches.
     """
 
     def __init__(self, postings: DataFrame, stats: CorpusStats,
@@ -535,6 +540,15 @@ ORDER BY score DESC, doc_id LIMIT {k}"""
     # below this many queries, per-query flat-path jobs beat one
     # Python-runner batch job (~115 ms each vs ~300 ms + 40 ms/query)
     FLAT_BATCH_MAX = 3
+
+    def close(self) -> None:
+        """Release the serving caches (block + flat) and the temp view."""
+        self.df.unpersist()
+        if self.flat is not None:
+            spark = self.flat.sparkSession
+            self.flat.unpersist()
+            spark.catalog.dropTempView(self._view)
+            self.flat = None
 
     def search(self, queries: list[list[str]], k: int = 10) -> list[list[tuple[int, float]]]:
         """Top-k per query: [(doc_id, score) ranked] per input query."""
