@@ -764,6 +764,28 @@ def q_media_features(spark, sf_dir):
         .alias("features_s"))
 
 
+def q_frame_plan(spark, sf_dir):
+    """Video frame-sampling plan: one row per frame timestamp (pure
+    column algebra — sequence + explode — so decode work fans out with
+    no skew)."""
+    from .functions.multimodal import frame_sample_plan, synth_media
+    out = frame_sample_plan(synth_media(spark, 48), every_ms=1000)
+    return out.select("doc_id",
+                      F.col("frame_idx").cast("long").alias("frame_idx"),
+                      F.col("ts_ms").cast("long").alias("ts_ms"))
+
+
+def q_media_resize(spark, sf_dir):
+    """Stub-gated image resize plumbing; payload bytes reproduced by
+    the oracle via the sha256-over-hex trick."""
+    from .functions.multimodal import resize_media_df, synth_media
+    out = resize_media_df(synth_media(spark, 48), width=64, height=48)
+    return out.select("doc_id", "kind",
+                      F.lower(F.hex("payload")).alias("payload_hex"),
+                      F.col("width").cast("long").alias("width"),
+                      F.col("height").cast("long").alias("height"))
+
+
 def q_url_list_scan(spark, sf_dir):
     """S1: url;keyword;lang list parse with defaults."""
     from .sources import read_url_list
@@ -936,6 +958,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_parity": q_extract_parity,
         "ann_lsh_top10": q_ann_lsh_top10,
         "media_features": q_media_features,
+        "frame_plan": q_frame_plan,
+        "media_resize": q_media_resize,
         "pdf_extract": q_pdf_extract,
         "link_extract": q_link_extract,
         "phrase_c6_scores": q_phrase_c6_scores,
@@ -1685,6 +1709,26 @@ WITH t AS (SELECT i::BIGINT AS doc_id,
              'synthetic pdf document ' || i || ' with shared words' AS text
            FROM (SELECT unnest(range(0, 40)) AS i))
 SELECT doc_id, text, length(text)::BIGINT AS n_chars FROM t""",
+
+        "frame_plan": """
+WITH m AS (SELECT i::BIGINT AS doc_id, 1000 * (1 + i % 30) AS dur
+           FROM (SELECT unnest(range(0, 48)) AS i) WHERE i % 3 = 2),
+f AS (SELECT doc_id,
+        unnest(range(0, greatest(dur // 1000, 1))) AS frame_idx
+      FROM m)
+SELECT doc_id, frame_idx::BIGINT AS frame_idx,
+       (frame_idx * 1000)::BIGINT AS ts_ms
+FROM f""",
+
+        "media_resize": """
+WITH m AS (
+  SELECT i::BIGINT AS doc_id,
+         repeat(unhex(sha256('media' || i)), 1 + i % 7) AS payload
+  FROM (SELECT unnest(range(0, 48)) AS i) WHERE i % 3 = 0)
+SELECT doc_id, 'image' AS kind,
+       sha256('resize:64x48:' || lower(hex(payload))) AS payload_hex,
+       64::BIGINT AS width, 48::BIGINT AS height
+FROM m""",
 
         "media_features": """
 WITH m AS (

@@ -100,6 +100,50 @@ def frame_sample_plan(media_df: DataFrame, every_ms: int = 1000) -> DataFrame:
             .withColumn("ts_ms", F.col("frame_idx") * every_ms))
 
 
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+])
+
+
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for an image resize: sha256 over the
+    target geometry + hex(payload) (VARCHAR-expressible for the DuckDB
+    oracle, like _fake_decode). Swap for PIL outside this sandbox."""
+    return hashlib.sha256(
+        f"resize:{width}x{height}:{bytes(payload).hex()}".encode()).digest()
+
+
+def resize_media_df(media_df: DataFrame, width: int = 64,
+                    height: int = 48, strict: bool = False) -> DataFrame:
+    """Image resize over the binary column via Arrow-batched
+    mapInPandas — the same stub-gated pattern as extract_features_df
+    (no image libs in this sandbox; plumbing, batching and the typed
+    output schema are real and oracle-checked)."""
+    if strict:
+        raise NotImplementedError(
+            "no image codec available; install PIL and swap _fake_resize")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "kind": pdf["kind"],
+                "payload": [_fake_resize(p if p is not None else b"",
+                                         width, height)
+                            for p in pdf["payload"]],
+                "width": width,
+                "height": height,
+            })
+
+    return (media_df.filter(F.col("kind") == "image")
+            .select("doc_id", "kind", "payload")
+            .mapInPandas(kernel, schema=RESIZED_SCHEMA))
+
+
 def synth_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests."""
     rows = []
