@@ -119,10 +119,12 @@ def _fixture_links_corpus_parquet() -> str:
         import pyarrow.parquet as pq
         from .corpus import gen_corpus
         pdf = gen_corpus(60)
+        tmp = f"{path}.tmp-{os.getpid()}"
         pq.write_table(pa.table({
             "url": pdf["url"],
             "html": [h.decode("utf-8") for h in pdf["html"]],
-        }), path)
+        }), tmp)
+        os.replace(tmp, path)  # atomic: concurrent readers never see a half-written file
     return path
 
 
@@ -142,11 +144,13 @@ def _fixture_spm_expected_parquet() -> str:
         from .vocab import get_vocab
         v = get_vocab()
         pdf = gen_corpus(120)
+        tmp = f"{path}.tmp-{os.getpid()}"
         pq.write_table(pa.table({
             "url": pdf["url"],
             "n_pieces": [len(v.encode_as_pieces(t)) if isinstance(t, str)
                          else 0 for t in pdf["text"]],
-        }), path)
+        }), tmp)
+        os.replace(tmp, path)
     return path
 
 
@@ -169,8 +173,10 @@ def _fixture_extract_expected_parquet() -> str:
             _, text, _, _ = extract_html(html)
             oks.append(text == expected)
             ncs.append(len(text))
+        tmp = f"{path}.tmp-{os.getpid()}"
         pq.write_table(pa.table({"url": pdf["url"], "ok": oks,
-                                 "n_chars": ncs}), path)
+                                 "n_chars": ncs}), tmp)
+        os.replace(tmp, path)
     return path
 
 
@@ -206,8 +212,10 @@ def _fixture_phrase_expected_parquet() -> str:
                 continue
             ids.append(xxh64_signed(url))
             scores.append(round(phrase_adjacency_score(words, posmap), 6))
+        tmp = f"{path}.tmp-{os.getpid()}"
         pq.write_table(pa.table({"doc_id": ids, "phrase_score_r": scores}),
-                       path)
+                       tmp)
+        os.replace(tmp, path)
     return path
 
 
