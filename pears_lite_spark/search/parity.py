@@ -271,8 +271,13 @@ def pod_summaries(tokens_df: DataFrame, pod_col: str = "pod") -> DataFrame:
 def pod_prune(pod_scores: DataFrame, max_pods: int = 3,
               min_score: float = 0.01) -> DataFrame:
     """Top-3-pods-or-all rule (`score_pages.py:81-93`): if the best pod
-    score < min_score, keep ALL pods, else the top `max_pods`."""
-    w = Window.orderBy(F.desc("score"), F.asc("pod"))
+    score < min_score, keep ALL pods, else the top `max_pods`.
+
+    Pod cardinality is a user's subscription list (bounded small), so
+    the rank is a DELIBERATE single-task sort; the constant partition
+    key states that in the plan instead of looking like a forgotten
+    partitionBy."""
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc("pod"))
     ranked = pod_scores.withColumn("rn", F.row_number().over(w))
     best = ranked.agg(F.max("score").alias("mx"))
     return (ranked.crossJoin(F.broadcast(best))
