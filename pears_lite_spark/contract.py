@@ -432,6 +432,51 @@ def q_ivf_top10(spark, sf_dir):
     return out.select("vec_id", F.round("cosine", 5).alias("cos_r"))
 
 
+def _fixture_ann_index(spark, sf_dir) -> str:
+    """Materialized ANN artifact for the pruned-probe queries: written
+    once per (process, sf_dir) under the tempdir — the probe queries
+    then read it back with partition pruning (the 100 TB serving path;
+    tests/test_ann_index.py asserts PartitionFilters in the plan)."""
+    import hashlib
+    import os
+    import tempfile
+    from .ann import write_ann_index
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"pears_ann_idx_{tag}")
+    marker = os.path.join(path, "ann_meta.json")
+    if not os.path.exists(marker):
+        write_ann_index(_emb(spark, sf_dir), path)
+    return path
+
+
+def q_ivf_pruned_top10(spark, sf_dir):
+    """IVF-Flat probe against the MATERIALIZED index (ivf_cell is a
+    stored partition key; the probe scan prunes to nprobe cells instead
+    of recomputing assignments per query). Same centroids + nprobe as
+    q_ivf_top10, so the oracle is the same SQL twin."""
+    from .ann import ivf_topk_indexed
+    emb = _emb(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    path = _fixture_ann_index(spark, sf_dir)
+    out = ivf_topk_indexed(spark, path, [float(x) for x in qvec],
+                           k=10, nprobe=4)
+    return out.select("vec_id", F.round("cosine", 5).alias("cos_r"))
+
+
+def q_lsh_pruned_top10(spark, sf_dir):
+    """Multi-table LSH probe against the MATERIALIZED index
+    ((lsh_table, lsh_bucket) are stored partition keys; the probe scan
+    prunes to the per-table Hamming-1 bucket sets). Same plane config
+    as q_ann_lsh_top10, so the oracle is the same SQL twin."""
+    from .ann import lsh_topk_indexed
+    emb = _emb(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    path = _fixture_ann_index(spark, sf_dir)
+    out = lsh_topk_indexed(spark, path, [float(x) for x in qvec],
+                           k=10, max_hamming=1)
+    return out.select("vec_id", F.round("cosine", 5).alias("cos_r"))
+
+
 def q_pod_counts(spark, sf_dir):
     """A3/A4: docs per pod (pod == source column)."""
     return (_docs(spark, sf_dir).groupBy("source")
@@ -794,6 +839,96 @@ def q_media_resize(spark, sf_dir):
                       F.col("height").cast("long").alias("height"))
 
 
+def _fixture_media_real_features_parquet() -> str:
+    """Expected REAL media features, computed from the PRE-ENCODE
+    arrays (never through the decoder): the Spark query must decode the
+    PNG/BMP/WAV payloads back to pixels/samples to reproduce these
+    histograms, so any codec bug (filter reconstruction, channel order,
+    sample framing) breaks the match — a true round-trip differential,
+    not self-comparison."""
+    import os
+    import tempfile
+    path = os.path.join(tempfile.gettempdir(),
+                        "pears_media_real_expected.parquet")
+    if True:  # always rewrite (deterministic; fast)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from .functions import codecs
+        from .functions.multimodal import FEATURE_DIM, synth_media_real_items
+        ids, kinds, nb, hs = [], [], [], []
+        for i, kind, payload, raw in synth_media_real_items(48):
+            if kind == "video":
+                continue
+            hist = (codecs.image_hist(raw, FEATURE_DIM) if kind == "image"
+                    else codecs.audio_hist(raw, FEATURE_DIM))
+            ids.append(i)
+            kinds.append(kind)
+            nb.append(len(payload))
+            hs.append(",".join(str(int(x)) for x in hist))
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                                 "kind": kinds,
+                                 "n_bytes": pa.array(nb, pa.int64()),
+                                 "hist_s": hs}), tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def _fixture_media_resize_real_parquet() -> str:
+    """Expected REAL resize outputs: nearest-resample of the PRE-ENCODE
+    arrays, re-encoded to canonical PNG, stored as sha256 hex — the
+    Spark side must decode its payload first, so the digest only
+    matches if decode(encode(x)) == x held in the executor."""
+    import hashlib as _hl
+    import os
+    import tempfile
+    path = os.path.join(tempfile.gettempdir(),
+                        "pears_media_resize_real_expected.parquet")
+    if True:  # always rewrite (deterministic; fast)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from .functions import codecs
+        from .functions.multimodal import synth_media_real_items
+        ids, hexes = [], []
+        for i, kind, payload, raw in synth_media_real_items(48):
+            if kind != "image":
+                continue
+            png = codecs.encode_png(codecs.resize_nearest(raw, 64, 48))
+            ids.append(i)
+            hexes.append(_hl.sha256(png).hexdigest())
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                                 "payload_hex": hexes}), tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def q_media_features_real(spark, sf_dir):
+    """REAL media decode (strict path): PNG/BMP/WAV payloads decoded by
+    the pure stdlib+numpy codecs inside the Arrow-batched kernel, luma/
+    amplitude histograms out. The oracle answers from pre-encode arrays
+    (see _fixture_media_real_features_parquet) — the query only matches
+    if the executors' decoders reconstruct the exact pixels/samples."""
+    from .functions.multimodal import extract_features_hist_df, \
+        synth_media_real
+    media = synth_media_real(spark, 48).filter(F.col("kind") != "video")
+    out = extract_features_hist_df(media)
+    return out.select("doc_id", "kind",
+                      F.col("n_bytes").cast("long").alias("n_bytes"),
+                      "hist_s")
+
+
+def q_media_resize_real(spark, sf_dir):
+    """REAL image resize (strict path): decode PNG/BMP -> nearest
+    resample -> canonical PNG re-encode, compared by digest against
+    resamples of the pre-encode arrays."""
+    from .functions.multimodal import resize_media_df, synth_media_real
+    out = resize_media_df(synth_media_real(spark, 48), width=64,
+                          height=48, strict=True)
+    return out.select("doc_id",
+                      F.lower(F.sha2("payload", 256)).alias("payload_hex"))
+
+
 def q_url_list_scan(spark, sf_dir):
     """S1: url;keyword;lang list parse with defaults."""
     from .sources import read_url_list
@@ -909,7 +1044,32 @@ def q_embedding_near_dups(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registration order is deliberate: the driver's correctness gate
+    evaluates the first 50 entries in dict order, so entries that have
+    never earned a green CORRECTNESS row sit FIRST (the 11 round-2
+    additions that fell outside round 2's window, then the round-3
+    additions), followed by the core operator set; long-stable trivial
+    scans (green since round 1/2) are parked past the window and rotate
+    back in if slots free up."""
     return {
+        # -- never driver-checked before round 3: keep inside the window
+        "access_check": q_access_check,
+        "simhash_near_dups": q_simhash_near_dups,
+        "spm_tokens": q_spm_tokens,
+        "extract_parity": q_extract_parity,
+        "ann_lsh_top10": q_ann_lsh_top10,
+        "media_features": q_media_features,
+        "frame_plan": q_frame_plan,
+        "media_resize": q_media_resize,
+        "pdf_extract": q_pdf_extract,
+        "link_extract": q_link_extract,
+        "phrase_c6_scores": q_phrase_c6_scores,
+        # -- new in round 3
+        "ivf_pruned_top10": q_ivf_pruned_top10,
+        "lsh_pruned_top10": q_lsh_pruned_top10,
+        "media_features_real": q_media_features_real,
+        "media_resize_real": q_media_resize_real,
+        # -- core operator set (green in round 2; keep evidence fresh)
         "tf_top_terms": q_tf_top_terms,
         "term_df": q_term_df,
         "corpus_stats": q_corpus_stats,
@@ -933,44 +1093,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_top10": q_embedding_top10,
         "ivf_top10": q_ivf_top10,
         "knn_join": q_knn_join,
-        "pod_counts": q_pod_counts,
+        "embedding_near_dups": q_embedding_near_dups,
         "pod_top_terms": q_pod_top_terms,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "bfs_reach": q_bfs_reach,
         "doc_neighbours": q_doc_neighbours,
         "pod_rank": q_pod_rank,
-        "top3_fallback": q_top3_fallback,
         "wta_l2": q_wta_l2,
         "combined_rank": q_combined_rank,
+        "query_vectors": q_query_vectors,
+        "dedup_insert": q_dedup_insert,
+        "delete_rebuild": q_delete_rebuild,
+        # -- stable trivial scans, green in r01+r02: past the 50-window
+        "pod_counts": q_pod_counts,
+        "top3_fallback": q_top3_fallback,
         "query_parse": q_query_parse,
         "url_overlap": q_url_overlap,
         "expert_threshold": q_expert_threshold,
         "pod_share_export": q_pod_share_export,
-        "dedup_insert": q_dedup_insert,
-        "delete_rebuild": q_delete_rebuild,
         "snippets": q_snippets,
         "robots_gate": q_robots_gate,
         "local_docs_scan": q_local_docs_scan,
         "bookmarks_scan": q_bookmarks_scan,
         "pod_subscribe": q_pod_subscribe,
-        "query_vectors": q_query_vectors,
-        "embedding_near_dups": q_embedding_near_dups,
         "url_list_scan": q_url_list_scan,
         "csv_docs": q_csv_docs,
         "canonical_urls": q_canonical_urls,
         "web_fetch": q_web_fetch,
-        "access_check": q_access_check,
-        "simhash_near_dups": q_simhash_near_dups,
-        "spm_tokens": q_spm_tokens,
-        "extract_parity": q_extract_parity,
-        "ann_lsh_top10": q_ann_lsh_top10,
-        "media_features": q_media_features,
-        "frame_plan": q_frame_plan,
-        "media_resize": q_media_resize,
-        "pdf_extract": q_pdf_extract,
-        "link_extract": q_link_extract,
-        "phrase_c6_scores": q_phrase_c6_scores,
     }
 
 
@@ -985,15 +1135,25 @@ def _sql_str(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
+def _oracle_sf_dir() -> str:
+    """Scale dir the oracle SQL is generated against. The driver's gate
+    runs at sf0.01 (the default); tools/check_contract.py exports
+    PEARS_ORACLE_SF_DIR so the same oracles stay valid at any scale
+    (sf0.001/sf0.01 embeddings differ, so a fixed path would silently
+    diverge elsewhere)."""
+    import os
+    return os.environ.get("PEARS_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
 def _ivf_oracle() -> str:
-    """SQL twin of q_ivf_top10 at the gate's scale (sf0.01): train the
+    """SQL twin of q_ivf_top10 at the gate's scale: train the
     same quantizer with the same pure-numpy Lloyd code, inline the
     centroids as literals, mirror assignment (argmin of
     -2*v.c + ||c||^2, first-min tie-break), probe and re-rank."""
     import numpy as np
     import pyarrow.parquet as pq
     from .ann import lloyd_kmeans
-    tbl = pq.read_table("/root/testdata/sf0.01/embeddings.parquet",
+    tbl = pq.read_table(_oracle_sf_dir() + "/embeddings.parquet",
                         columns=["vec_id", "embedding"])
     vid = np.asarray(tbl["vec_id"])
     order = np.argsort(vid, kind="stable")
@@ -1708,6 +1868,14 @@ SELECT url, ok, n_chars::BIGINT AS n_chars FROM read_parquet('{path}')""".format
 
         "ivf_top10": _ivf_oracle(),
 
+        # the pruned probes read the materialized partition-keyed index
+        # but are result-identical to the per-query variants by
+        # construction (same centroids / plane seeds / nprobe), so they
+        # share the same SQL twins
+        "ivf_pruned_top10": _ivf_oracle(),
+
+        "lsh_pruned_top10": _ann_lsh_oracle(),
+
         "phrase_c6_scores": """
 SELECT doc_id, phrase_score_r FROM read_parquet('{path}')""".format(
             path=_fixture_phrase_expected_parquet()),
@@ -1754,6 +1922,14 @@ SELECT doc_id, kind, n_bytes,
     printf('%.6f', (('0x' || substr(hx, 4*j+3, 2) || substr(hx, 4*j+1, 2))::INT)
            / 65535.0)), ',') AS features_s
 FROM h""",
+
+        "media_features_real": """
+SELECT doc_id, kind, n_bytes, hist_s FROM read_parquet('{path}')""".format(
+            path=_fixture_media_real_features_parquet()),
+
+        "media_resize_real": """
+SELECT doc_id, payload_hex FROM read_parquet('{path}')""".format(
+            path=_fixture_media_resize_real_parquet()),
 
         "csv_docs": """
 SELECT 'people.csv#row [' || (row_number() OVER (

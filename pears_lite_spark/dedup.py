@@ -56,15 +56,21 @@ def minhash_signatures(docs_df: DataFrame, num_hashes: int = 16,
                        n: int = DEFAULT_SHINGLE) -> DataFrame:
     """(doc_id, hash_id, minhash): minhash_k = min over shingles of
     md5(k || ':' || shingle) — fixed-width lowercase hex, so string MIN
-    == 128-bit numeric MIN, identically in Spark and DuckDB."""
+    == 128-bit numeric MIN, identically in Spark and DuckDB.
+
+    Shape: `num_hashes` min() aggregate expressions over the shingle
+    rows (ONE row per shingle pre-shuffle), not an explode to
+    num_hashes x shingles rows — map-side partial aggregation then
+    moves at most num_hashes hex strings per (doc, map task), ~16x
+    less map-side volume at web scale. posexplode restores the long
+    (doc_id, hash_id, minhash) layout after the aggregate."""
     sh = shingles(docs_df, n)
-    hids = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("hash_id")
-    return (sh.select("doc_id", "shingle", hids)
-            .select("doc_id", "hash_id",
-                    F.md5(F.concat_ws(":", F.col("hash_id").cast("string"),
-                                      "shingle")).alias("h"))
-            .groupBy("doc_id", "hash_id")
-            .agg(F.min("h").alias("minhash")))
+    aggs = [F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("shingle"))))
+            .alias(f"_h{i}") for i in range(num_hashes)]
+    wide = sh.groupBy("doc_id").agg(*aggs)
+    sig = F.array(*[F.col(f"_h{i}") for i in range(num_hashes)])
+    return wide.select("doc_id",
+                       F.posexplode(sig).alias("hash_id", "minhash"))
 
 
 def lsh_candidate_pairs(docs_df: DataFrame, num_hashes: int = 16,

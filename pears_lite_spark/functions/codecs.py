@@ -1,0 +1,281 @@
+"""Pure stdlib+numpy media codecs: PNG, BMP, WAV.
+
+No image/audio libraries exist in this sandbox, so the "real" decode
+path for multimodal columns is implemented directly from the public
+format specifications (PNG: RFC 2083 / W3C PNG spec; BMP: the Windows
+BITMAPINFOHEADER layout; WAV: stdlib `wave`). That keeps
+`multimodal.DECODERS["real"]` genuinely real — bytes in, pixel/sample
+arrays out — rather than a sha256 stand-in.
+
+Scope (documented, asserted):
+- PNG: 8-bit depth, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
+  6 (RGBA), non-interlaced; all five scanline filters on decode, any
+  single filter type on encode (so tests can exercise every decode
+  branch round-trip).
+- BMP: 24-bit uncompressed (BI_RGB), bottom-up rows.
+- WAV: 16-bit PCM via the stdlib `wave` module.
+
+The per-pixel Python loops in the Sub/Average/Paeth unfilters are fine
+for the small images these tests ship; a production cluster would swap
+an optimized library into the same DECODERS slot — the Spark-side
+plumbing (schemas, Arrow batching, partitioning) is identical either
+way, which is the part this repo owns.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+# ----------------------------------------------------------------- PNG
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """Encode (h, w) or (h, w, c) uint8 -> PNG bytes, applying the same
+    scanline `filter_type` (0..4) to every row."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    bpp = c
+    stride = w * c
+    flat = a.reshape(h, stride).astype(np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    out = bytearray()
+    for y in range(h):
+        cur = flat[y]
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:
+            left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            filt = (cur - left) & 0xFF
+        elif filter_type == 2:
+            filt = (cur - prev) & 0xFF
+        elif filter_type == 3:
+            left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            filt = (cur - ((left + prev) >> 1)) & 0xFF
+        elif filter_type == 4:
+            filt = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a_ = int(cur[x - bpp]) if x >= bpp else 0
+                b_ = int(prev[x])
+                c_ = int(prev[x - bpp]) if x >= bpp else 0
+                p = a_ + b_ - c_
+                pa, pb, pc = abs(p - a_), abs(p - b_), abs(p - c_)
+                pred = a_ if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c_)
+                filt[x] = (int(cur[x]) - pred) & 0xFF
+        else:
+            raise ValueError(f"bad filter type {filter_type}")
+        out.append(filter_type)
+        out.extend(filt.astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (PNG_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(out), 6))
+            + _chunk(b"IEND", b""))
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode PNG bytes -> (h, w) uint8 for grayscale or (h, w, c) for
+    multi-channel. 8-bit, non-interlaced only (asserted)."""
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    width = height = None
+    color = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = \
+                struct.unpack(">IIBBBBB", body)
+            if depth != 8 or interlace != 0 or color not in _CHANNELS:
+                raise NotImplementedError(
+                    f"unsupported PNG (depth={depth}, color={color}, "
+                    f"interlace={interlace})")
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    c = _CHANNELS[color]
+    bpp = c
+    stride = width * c
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG scanline data size mismatch")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        off = y * (stride + 1)
+        ft = raw[off]
+        line = np.frombuffer(raw, np.uint8, stride, off + 1).astype(np.int32)
+        if ft == 0:
+            cur = line
+        elif ft == 1:
+            cur = line.copy()
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif ft == 2:
+            cur = (line + prev) & 0xFF
+        elif ft == 3:
+            cur = line.copy()
+            for x in range(stride):
+                a_ = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(line[x]) + ((a_ + int(prev[x])) >> 1)) & 0xFF
+        elif ft == 4:
+            cur = line.copy()
+            for x in range(stride):
+                a_ = int(cur[x - bpp]) if x >= bpp else 0
+                b_ = int(prev[x])
+                c_ = int(prev[x - bpp]) if x >= bpp else 0
+                p = a_ + b_ - c_
+                pa, pb, pc = abs(p - a_), abs(p - b_), abs(p - c_)
+                pred = a_ if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c_)
+                cur[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter byte {ft}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    img = out.reshape(height, width, c)
+    return img[:, :, 0] if c == 1 else img
+
+
+# ----------------------------------------------------------------- BMP
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """Encode (h, w, 3) uint8 RGB -> 24-bit BI_RGB BMP (bottom-up,
+    4-byte-padded rows, BGR byte order)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("encode_bmp wants (h, w, 3) RGB")
+    h, w, _ = a.shape
+    pad = (-3 * w) % 4
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):
+        rows.extend(a[y, :, ::-1].tobytes())  # RGB -> BGR
+        rows.extend(b"\x00" * pad)
+    pixel_off = 14 + 40
+    size = pixel_off + len(rows)
+    hdr = struct.pack("<2sIHHI", b"BM", size, 0, 0, pixel_off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows),
+                       2835, 2835, 0, 0)
+    return hdr + info + bytes(rows)
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Decode 24-bit uncompressed BMP -> (h, w, 3) uint8 RGB."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (pixel_off,) = struct.unpack("<I", data[10:14])
+    hsz, w, h, planes, bits, comp = struct.unpack("<IiiHHI", data[14:34])
+    if bits != 24 or comp != 0:
+        raise NotImplementedError(f"unsupported BMP (bits={bits}, comp={comp})")
+    flip = h > 0
+    h = abs(h)
+    pad = (-3 * w) % 4
+    stride = 3 * w + pad
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for i in range(h):
+        off = pixel_off + i * stride
+        row = np.frombuffer(data, np.uint8, 3 * w, off).reshape(w, 3)
+        y = h - 1 - i if flip else i
+        out[y] = row[:, ::-1]  # BGR -> RGB
+    return out
+
+
+# ----------------------------------------------------------------- WAV
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """Encode int16 mono samples -> WAV bytes (stdlib wave)."""
+    s = np.asarray(samples, dtype="<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(s.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode 16-bit PCM WAV -> (int16 samples [n, channels] squeezed
+    to 1-D for mono, sample rate)."""
+    with wave.open(io.BytesIO(data), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise NotImplementedError("only 16-bit PCM WAV supported")
+        n = wf.getnframes()
+        ch = wf.getnchannels()
+        rate = wf.getframerate()
+        raw = wf.readframes(n)
+    s = np.frombuffer(raw, dtype="<i2").reshape(n, ch)
+    return (s[:, 0] if ch == 1 else s), rate
+
+
+# ----------------------------------------- features / transforms
+
+def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Deterministic nearest-neighbour resize of (h, w[, c]) uint8."""
+    a = np.asarray(arr)
+    h, w = a.shape[:2]
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    return a[ys][:, xs]
+
+
+def luma(arr: np.ndarray) -> np.ndarray:
+    """Integer-exact Rec.601-style luma in [0, 255] (weights 299/587/114
+    over 1000, floor division — bit-reproducible across platforms)."""
+    a = np.asarray(arr, dtype=np.int64)
+    if a.ndim == 2:
+        return a
+    if a.shape[2] == 1:
+        return a[:, :, 0]
+    if a.shape[2] == 2:  # gray + alpha
+        return a[:, :, 0]
+    r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+    return (299 * r + 587 * g + 114 * b) // 1000
+
+
+def image_hist(arr: np.ndarray, dim: int = 16) -> np.ndarray:
+    """`dim`-bin integer luma histogram (exact counts)."""
+    y = luma(arr).ravel()
+    return np.bincount((y * dim) // 256, minlength=dim)[:dim]
+
+
+def audio_hist(samples: np.ndarray, dim: int = 16) -> np.ndarray:
+    """`dim`-bin integer |amplitude| histogram over int16 samples."""
+    s = np.abs(np.asarray(samples, dtype=np.int64)).ravel()
+    return np.bincount(np.minimum((s * dim) // 32768, dim - 1),
+                       minlength=dim)[:dim]
+
+
+def image_features(arr: np.ndarray, dim: int = 16) -> np.ndarray:
+    """`dim`-bin normalized luma histogram — real, deterministic
+    content features (integer bin counts / n, exact in float64)."""
+    hist = image_hist(arr, dim)
+    return hist.astype(np.float64) / max(1, int(hist.sum()))
+
+
+def audio_features(samples: np.ndarray, dim: int = 16) -> np.ndarray:
+    """`dim`-bin normalized |amplitude| histogram over int16 samples."""
+    hist = audio_hist(samples, dim)
+    return hist.astype(np.float64) / max(1, int(hist.sum()))

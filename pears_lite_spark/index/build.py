@@ -556,10 +556,22 @@ def _merge_factory(avgdl: float, block_size: int, with_positions: bool,
         if t2.size > 1:
             dup = (t2[1:] == t2[:-1]) & (d2[1:] == d2[:-1])
             if dup.any():
-                # rare path: collapse duplicate (term_id, doc_id) runs
+                # rare path: collapse duplicate (term_id, doc_id) runs.
+                # Fragment semantics: the merged run behaves as the
+                # concatenation of its source rows — tf AND dl are
+                # summed, so the BM25 impact of a term present in every
+                # fragment is exact; a term present in only some
+                # fragments keeps that fragment's dl (cross-term dl
+                # reconciliation would need doc-level state that a
+                # term-partitioned merge cannot see — the canonical
+                # pipeline deduplicates doc_ids upstream, P4).
+                # Positions stay per-source-row offsets (phrase matches
+                # within a fragment are exact; cross-fragment phrase
+                # adjacency is out of scope).
                 first = np.concatenate(([True], ~dup))
                 keep = np.flatnonzero(first)
                 tf_m = np.add.reduceat(tf2, keep)
+                dl_m = np.add.reduceat(dl2, keep)
                 if p2 is not None:
                     # adjacent runs' position slices are already
                     # contiguous; sort only the merged groups' slices
@@ -570,7 +582,7 @@ def _merge_factory(avgdl: float, block_size: int, with_positions: bool,
                     for g in np.flatnonzero(runs_per_g > 1):
                         s0 = g_starts[g]
                         p2[s0:s0 + tf_m[g]].sort()
-                t2, d2, dl2, tf2 = t2[keep], d2[keep], dl2[keep], tf_m
+                t2, d2, dl2, tf2 = t2[keep], d2[keep], dl_m, tf_m
         rng2 = d2 >> range_shift
         newg = np.empty(t2.size, dtype=bool)
         newg[0] = True

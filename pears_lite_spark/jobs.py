@@ -197,6 +197,11 @@ def cmd_pipeline(args) -> int:
     postings, stats = build_postings(toks)
     write_index(postings, args.output, stats=stats,
                 n_buckets=args.n_buckets)
+    # write_index's release_build frees the build partials; the two
+    # corpus caches are ours to release (harmless for the exit-after-run
+    # CLI, required when this function is reused programmatically)
+    docs.unpersist()
+    clean.unpersist()
     dt = time.time() - t0
     _emit({"job": "pipeline", "input": args.input, "output": args.output,
            "n_raw": int(n_raw), "n_indexed": int(n_clean),

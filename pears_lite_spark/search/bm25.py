@@ -413,10 +413,12 @@ class Searcher:
     at cluster scale each executor caches only its own doc ranges
     (MEMORY_AND_DISK), the standard price of a serving replica.
 
-    A Searcher is a single-threaded serving handle: the flat path
-    scopes session confs around its action, so interleave calls from
-    one thread (or give each thread its own SparkSession). `close()`
-    releases both caches.
+    The flat path scopes session confs around its action and holds an
+    internal lock while doing so, so concurrent callers are safe but
+    serialize (measured ~8-9 QPS with 4 threads at sf0.1 — see
+    BASELINE.md §concurrency); for parallel throughput use `batch_topk`
+    (one job amortized over the query set) or one SparkSession + flat
+    cache per serving thread. `close()` releases both caches.
     """
 
     def __init__(self, postings: DataFrame, stats: CorpusStats,
@@ -424,8 +426,14 @@ class Searcher:
                  n_partitions: int | None = None,
                  k1: float = K1, b: float = B,
                  flat_cache: bool = True):
+        import threading
         self.stats = stats
         self.k1, self.b = k1, b
+        # the flat path mutates session confs around its action; the
+        # lock makes the documented one-query-at-a-time contract
+        # crash-proof under concurrent callers (they serialize — for
+        # parallel QPS use batch_topk or one SparkSession per thread)
+        self._flat_lock = threading.Lock()
         self._has_part = "part" in postings.columns
         cols = ["term_id", "doc_range", "block_id", "first_doc",
                 "last_doc", "n", "max_impact", "docs", "tfs", "dls"]
@@ -527,7 +535,7 @@ class Searcher:
   FROM {self._view} WHERE term_id IN ({tids})
   GROUP BY doc_range, doc_id)
 ORDER BY score DESC, doc_id LIMIT {k}"""
-        with _scoped_conf(self.flat.sparkSession, {
+        with self._flat_lock, _scoped_conf(self.flat.sparkSession, {
                 # embedded query-term literals would trigger a fresh
                 # Janino compile per query (~150-200 ms); interpreted
                 # evaluation over the pruned batches is faster

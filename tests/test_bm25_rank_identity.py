@@ -131,3 +131,44 @@ def test_flat_path_disabled_falls_back(index, query_pieces):
     s = Searcher(postings, stats, flat_cache=False)
     assert s.flat is None
     assert s.search([query_pieces[0][1]], k=3)[0]  # batch kernel serves
+
+
+def test_concurrent_flat_queries_rank_identical(index, oracle_docs,
+                                                query_pieces):
+    """4 threads hammering the flat path concurrently (ADVICE r02: the
+    path mutates session confs around its action — the Searcher lock
+    must make that safe, not just documented). Every result must equal
+    the sequential answer AND the numpy oracle; afterwards the scoped
+    confs must be restored."""
+    import threading
+    from pears_lite_spark.search.bm25 import Searcher
+    postings, stats = index
+    s = Searcher(postings, stats)
+    spark = s.flat.sparkSession
+    codegen_before = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    work = [(qid, pieces) for qid, (q, pieces)
+            in enumerate(query_pieces[:8])] * 3     # 24 queries, 4 threads
+    results: dict = {}
+    errors: list = []
+
+    def worker(chunk):
+        try:
+            for qid, pieces in chunk:
+                got = s.search([pieces], k=10)[0]
+                prev = results.setdefault(qid, got)
+                assert got == prev, f"nondeterministic result for q{qid}"
+        except Exception as e:  # surface into the main thread
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(work[i::4],))
+               for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    for qid, (q, pieces) in enumerate(query_pieces[:8]):
+        exp = bm25_topk_oracle(oracle_docs, pieces, 10)
+        assert [d for d, _ in results[qid]] == [d for d, _ in exp], q
+    assert spark.conf.get("spark.sql.codegen.wholeStage",
+                          "true") == codegen_before

@@ -215,6 +215,12 @@ def test_duplicate_doc_id_runs_merge_in_phase_b(spark):
                           for r in rows])
     assert sorted(docs.tolist()) == [5, 7]          # no duplicate runs
     assert dict(zip(docs.tolist(), tfs.tolist()))[5] == 3  # 2 + 1 merged
+    # fragment semantics (ADVICE r02): dl sums across merged runs so
+    # the merged run scores as the concatenated doc (dl 3 + 2 = 5)
+    dls = np.concatenate([codec.varint_decode(bytes(r["dls"]), r["n"])
+                          for r in rows])
+    by_doc_dl = dict(zip(docs.tolist(), dls.tolist()))
+    assert by_doc_dl[5] == 5 and by_doc_dl[7] == 1
     pos = {int(d): p for r in rows
            for d, p in zip(codec.decode_block_docs(bytes(r["docs"]), r["n"]),
                            codec.decode_block_positions(

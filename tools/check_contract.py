@@ -79,6 +79,10 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # oracles that embed data-derived literals (IVF centroids) must be
+    # generated against the SAME scale the queries run at
+    import os
+    os.environ["PEARS_ORACLE_SF_DIR"] = sf_dir
     import __spark_entry__ as entrymod
     from pears_lite_spark.session import get_spark
     spark = get_spark(master="local[8]")
