@@ -236,6 +236,35 @@ def main():
         queries_sec["bm25_single_p50"] = round(p50_s, 4)
         log(f"p50 single-query latency: {p50:.0f} ms")
 
+        # concurrent serving: 4 threads hammering the flat path (the
+        # Searcher lock serializes the spark.sql action but overlaps
+        # py4j/setup work) — the documented single-handle QPS figure
+        import threading
+        conc_q = [qpieces[i % len(qpieces)] for i in range(40)]
+        errs: list = []
+
+        def worker(chunk):
+            try:
+                for p in chunk:
+                    searcher.search([p], k=10)
+            except Exception as e:
+                errs.append(e)
+
+        threads = [threading.Thread(target=worker, args=(conc_q[i::4],))
+                   for i in range(4)]
+        t0 = time.time()
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        t_conc = time.time() - t0
+        if errs:
+            raise errs[0]
+        queries_sec["bm25_concurrent_40q_4thr"] = round(t_conc, 3)
+        conc_qps = len(conc_q) / t_conc
+        log(f"concurrent 4-thread serving: {len(conc_q)} queries in "
+            f"{t_conc:.2f}s = {conc_qps:.1f} QPS")
+
         # dedup + analysis ops over the sf documents table
         from pears_lite_spark.dedup import lsh_candidate_pairs
         from pears_lite_spark.functions.textstats import quality_scores
@@ -259,6 +288,7 @@ def main():
         "bench_corpus_docs": built_docs,
         "index_docs_per_sec": round(thr_high, 1),
         "bm25_p50_ms": round(p50, 1),
+        "bm25_concurrent_qps": round(conc_qps, 1),
         "scaling": scaling,
     }
     print(json.dumps(out))

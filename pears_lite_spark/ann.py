@@ -258,6 +258,33 @@ def read_ann_meta(path: str) -> dict:
         return json.load(f)
 
 
+def append_ann_index(emb_df: DataFrame, path: str) -> None:
+    """Incrementally add vectors to a materialized ANN index: assign
+    them with the STORED centroids/planes (the quantizer is frozen at
+    build time — standard IVF practice; re-train + rewrite only when
+    drift warrants a new index) and append into the existing partition
+    subtrees. Dynamic-partition append touches only the partitions the
+    new vectors land in, so maintenance cost is O(new data), and probe
+    queries see the union immediately with the same pruning."""
+    import os
+    meta = read_ann_meta(path)
+    C = np.asarray(meta["centroids"], dtype=np.float64)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    base = emb_df.select(id_col, vec_col)
+    (with_ivf_cell(base, C, vec_col)
+     .write.mode("append").partitionBy("ivf_cell")
+     .parquet(os.path.join(path, "ivf")))
+    lsh = None
+    for t in range(meta["n_tables"]):
+        planes = hyperplanes(meta["dim"], meta["n_planes"],
+                             seed=meta["lsh_seed"] + t)
+        part = (with_lsh_bucket(base, planes, vec_col)
+                .withColumn("lsh_table", F.lit(t)))
+        lsh = part if lsh is None else lsh.unionByName(part)
+    (lsh.write.mode("append").partitionBy("lsh_table", "lsh_bucket")
+     .parquet(os.path.join(path, "lsh")))
+
+
 def ivf_topk_indexed(spark, path: str, query_vec: list[float],
                      k: int = 10, nprobe: int = 4) -> DataFrame:
     """IVF probe against the materialized index: nearest `nprobe` cells

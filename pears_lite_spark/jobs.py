@@ -157,6 +157,49 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_ann_index(args) -> int:
+    """Build / append / probe the materialized ANN artifact (ivf_cell
+    and (lsh_table, lsh_bucket) as stored parquet partition keys — the
+    serving path that partition-prunes instead of rescanning per
+    query)."""
+    from .ann import (append_ann_index, ivf_topk_indexed,
+                      lsh_topk_indexed, read_ann_meta, write_ann_index)
+    spark = _spark("pears-ann")
+    t0 = time.time()
+    if args.mode == "build":
+        emb = spark.read.parquet(args.input)
+        meta = write_ann_index(emb, args.output, n_cells=args.n_cells,
+                               n_planes=args.n_planes,
+                               n_tables=args.n_tables)
+        _emit({"job": "ann-index", "mode": "build", "output": args.output,
+               "n_cells": meta["n_cells"], "dim": meta["dim"],
+               "n_tables": meta["n_tables"],
+               "seconds": round(time.time() - t0, 2)})
+    elif args.mode == "append":
+        append_ann_index(spark.read.parquet(args.input), args.output)
+        _emit({"job": "ann-index", "mode": "append", "output": args.output,
+               "seconds": round(time.time() - t0, 2)})
+    else:  # probe
+        meta = read_ann_meta(args.output)
+        vid = args.query_id
+        emb = spark.read.parquet(args.input)
+        from pyspark.sql import functions as F
+        q = [float(x) for x in
+             emb.filter(F.col(meta["id_col"]) == vid)
+                .select(meta["vec_col"]).collect()[0][0]]
+        fn = (lambda: ivf_topk_indexed(spark, args.output, q, k=args.k,
+                                       nprobe=args.nprobe)) \
+            if args.method == "ivf" else \
+            (lambda: lsh_topk_indexed(spark, args.output, q, k=args.k))
+        rows = fn().collect()
+        _emit({"job": "ann-index", "mode": "probe", "method": args.method,
+               "query_id": vid,
+               "hits": [{"vec_id": int(r[0]), "cosine": round(r[1], 6)}
+                        for r in rows],
+               "seconds": round(time.time() - t0, 2)})
+    return 0
+
+
 def cmd_pipeline(args) -> int:
     """End-to-end training-data pipeline: corpus -> extract -> quality
     filter -> exact + MinHash-LSH dedup -> block index. One declarative
@@ -245,6 +288,22 @@ def main(argv: list[str] | None = None) -> int:
                    help="recompute exact (N, avgdl) from manifests/blocks "
                         "before re-encoding (post-streaming-drain step)")
     c.set_defaults(fn=cmd_compact)
+
+    ai = sub.add_parser("ann-index",
+                        help="build/append/probe the materialized ANN index")
+    ai.add_argument("--mode", required=True,
+                    choices=["build", "append", "probe"])
+    ai.add_argument("--input", required=True,
+                    help="embeddings parquet (vec_id, embedding)")
+    ai.add_argument("--output", required=True, help="index root dir")
+    ai.add_argument("--n-cells", type=int, default=16)
+    ai.add_argument("--n-planes", type=int, default=8)
+    ai.add_argument("--n-tables", type=int, default=4)
+    ai.add_argument("--method", default="ivf", choices=["ivf", "lsh"])
+    ai.add_argument("--query-id", type=int, default=0)
+    ai.add_argument("--k", type=int, default=10)
+    ai.add_argument("--nprobe", type=int, default=4)
+    ai.set_defaults(fn=cmd_ann_index)
 
     pl = sub.add_parser("pipeline",
                         help="corpus -> quality filter -> dedup -> index")

@@ -415,10 +415,11 @@ class Searcher:
 
     The flat path scopes session confs around its action and holds an
     internal lock while doing so, so concurrent callers are safe but
-    serialize (measured ~8-9 QPS with 4 threads at sf0.1 — see
-    BASELINE.md §concurrency); for parallel throughput use `batch_topk`
-    (one job amortized over the query set) or one SparkSession + flat
-    cache per serving thread. `close()` releases both caches.
+    serialize (measured 7.3 QPS with 4 threads at sf0.1 — bench.py
+    `bm25_concurrent_qps`, BASELINE.md round 3); for parallel
+    throughput use the batch path (one job amortized over the query
+    set) or one SparkSession + flat cache per serving replica.
+    `close()` releases both caches.
     """
 
     def __init__(self, postings: DataFrame, stats: CorpusStats,

@@ -6,8 +6,19 @@ The reference tokenizes with the SentencePiece library over a shipped
 textual vocab `piece\tlogprob` at startup (`/root/reference/app/
 __init__.py:22-36`, skipping `<unk> <s> </s>`). The sentencepiece library
 is not available in this environment, so this module implements standard
-unigram-LM Viterbi inference (Kudo 2018, "Subword Regularization") over
-the same textual vocab format:
+unigram-LM Viterbi inference (Kudo 2018, "Subword Regularization")
+directly over the model's pieces.
+
+Piece scores come from the BINARY `.model` itself (preferred): the file
+is a protobuf `ModelProto`, and `parse_model_proto` below reads the
+`pieces` field (piece string, float32 score, piece type) with a ~40-line
+protobuf wire-format reader — no protobuf library needed, the wire
+format is a public stable spec. That gives the EXACT float32 logprobs
+the reference's tokenizer maximizes over; the textual `.vocab` (scores
+rounded to ~3-6 decimals, enough to flip close segmentations) remains a
+fallback and a cross-check (tests assert piece-for-piece agreement).
+
+Textual-vocab fallback format:
 
 - normalize: lowercase, collapse whitespace, replace ` ` with the word
   marker `▁` and prepend one (SentencePiece's add_dummy_prefix);
@@ -29,12 +40,87 @@ from functools import lru_cache
 WORD_MARKER = "▁"
 UNK_LOGPROB = -100.0
 
+_DEFAULT_MODEL_PATHS = (
+    os.path.join(os.path.dirname(__file__), "assets",
+                 "enwiki.lite.16k.model"),
+    "/root/reference/app/api/models/en/enwiki.lite.16k.model",
+)
+
 _DEFAULT_PATHS = (
     os.path.join(os.path.dirname(__file__), "assets", "vocab.16k.txt"),
     "/root/reference/app/api/models/en/enwiki.lite.16k.vocab",
 )
 
 _SPECIAL = {"<unk>", "<s>", "</s>"}
+
+# SentencePiece piece types (sentencepiece_model.proto, public schema):
+# 1=NORMAL, 2=UNKNOWN, 3=CONTROL, 4=USER_DEFINED, 6=BYTE
+_SKIP_TYPES = {2, 3}
+
+
+def _read_varint(b: bytes, i: int) -> tuple[int, int]:
+    x = 0
+    shift = 0
+    while True:
+        c = b[i]
+        i += 1
+        x |= (c & 0x7F) << shift
+        if not c & 0x80:
+            return x, i
+        shift += 7
+
+
+def parse_model_proto(data: bytes) -> list[tuple[str, float, int]]:
+    """Read `ModelProto.pieces` (field 1: repeated SentencePiece
+    {1: piece string, 2: score float32, 3: type enum}) straight off the
+    protobuf wire format — varint tags, length-delimited submessages,
+    fixed32 floats. Unknown fields are skipped by wire type, so
+    trainer/normalizer spec sections pass through untouched."""
+    import struct
+    out: list[tuple[str, float, int]] = []
+    i, n = 0, len(data)
+    while i < n:
+        tag, i = _read_varint(data, i)
+        fnum, wt = tag >> 3, tag & 7
+        if wt == 2:
+            ln, i = _read_varint(data, i)
+            payload = data[i:i + ln]
+            i += ln
+            if fnum != 1:
+                continue
+            j, m = 0, ln
+            piece, score, ptype = None, 0.0, 1
+            while j < m:
+                t2, j = _read_varint(payload, j)
+                f2, w2 = t2 >> 3, t2 & 7
+                if w2 == 2:
+                    l2, j = _read_varint(payload, j)
+                    if f2 == 1:
+                        piece = payload[j:j + l2].decode("utf-8")
+                    j += l2
+                elif w2 == 5:
+                    if f2 == 2:
+                        score = struct.unpack("<f", payload[j:j + 4])[0]
+                    j += 4
+                elif w2 == 0:
+                    v, j = _read_varint(payload, j)
+                    if f2 == 3:
+                        ptype = v
+                elif w2 == 1:
+                    j += 8
+                else:
+                    raise ValueError(f"bad wire type {w2}")
+            if piece is not None:
+                out.append((piece, score, ptype))
+        elif wt == 0:
+            _, i = _read_varint(data, i)
+        elif wt == 5:
+            i += 4
+        elif wt == 1:
+            i += 8
+        else:
+            raise ValueError(f"bad wire type {wt}")
+    return out
 
 
 class Vocab:
@@ -57,7 +143,33 @@ class Vocab:
         self._word_cache: dict[str, list[str]] = {}
 
     @classmethod
+    def from_model_bytes(cls, data: bytes) -> "Vocab":
+        """Build from the binary `.model` protobuf: exact float32
+        scores, UNKNOWN/CONTROL pieces skipped (same roles the textual
+        loader's <unk>/<s>/</s> skip covers)."""
+        pieces = [(p, s) for p, s, t in parse_model_proto(data)
+                  if t not in _SKIP_TYPES]
+        return cls(pieces)
+
+    @classmethod
     def load(cls, path: str | None = None) -> "Vocab":
+        # binary model preferred (exact scores); explicit .model paths
+        # and the shipped asset both route through the proto parser
+        if path is not None and path.endswith(".model"):
+            with open(path, "rb") as fh:
+                return cls.from_model_bytes(fh.read())
+        if path is None:
+            for cand in _DEFAULT_MODEL_PATHS:
+                if os.path.exists(cand):
+                    with open(cand, "rb") as fh:
+                        return cls.from_model_bytes(fh.read())
+            try:  # zip-safe (spark-submit --py-files)
+                from importlib.resources import files
+                data = (files("pears_lite_spark") / "assets"
+                        / "enwiki.lite.16k.model").read_bytes()
+                return cls.from_model_bytes(data)
+            except Exception:
+                pass  # fall through to the textual vocab
         text = None
         if path is None:
             for cand in _DEFAULT_PATHS:

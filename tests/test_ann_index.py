@@ -103,6 +103,26 @@ def test_ivf_full_probe_equals_brute(spark, emb_df, index_path):
     assert a == b
 
 
+def test_append_then_probe_sees_union(spark, emb_df, tmp_path):
+    """Incremental maintenance: append assigns with the FROZEN stored
+    quantizer and lands only in the touched partitions; a full-probe
+    query over the appended index equals brute force over the union."""
+    from pears_lite_spark.ann import append_ann_index
+    path = str(tmp_path / "idx")
+    first = emb_df.filter(F.col("vec_id") < 300)
+    write_ann_index(first, path, n_cells=8, n_planes=6, n_tables=3)
+    append_ann_index(emb_df.filter(F.col("vec_id") >= 300), path)
+    q = _query_vec(emb_df, vid=1)
+    a = [r["vec_id"] for r in brute_topk(emb_df, q, k=10).collect()]
+    b = [r["vec_id"] for r in
+         ivf_topk_indexed(spark, path, q, k=10, nprobe=8).collect()]
+    assert a == b
+    # appended ids are findable through the pruned LSH probe too
+    got = {r["vec_id"] for r in
+           lsh_topk_indexed(spark, path, q, k=400).collect()}
+    assert any(v >= 300 for v in got)
+
+
 def test_lsh_indexed_recall_vs_brute(spark, emb_df, index_path):
     """Multi-table Hamming-1 probing keeps high top-10 recall."""
     hits = total = 0

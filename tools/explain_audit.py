@@ -153,6 +153,40 @@ def main(sf_dir: str):
     print("```")
     print(f"Exchange nodes: {t.count('Exchange')}")
     print("```\n")
+
+    # 8. materialized ANN probe: partition pruning on ivf_cell
+    from pears_lite_spark.ann import ivf_topk_indexed, write_ann_index
+    ann_path = "/tmp/pears_plan_ann"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if not os.path.exists(os.path.join(ann_path, "ann_meta.json")):
+        write_ann_index(emb, ann_path)
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    t = (ivf_topk_indexed(spark, ann_path, qv, k=10, nprobe=4)
+         ._jdf.queryExecution().executedPlan().toString())
+    print("## 8. Materialized ANN probe: partition pruning on ivf_cell\n")
+    import re as _re
+    pf = _re.search(r"PartitionFilters: \[[^\]]*\]", t)
+    print("```")
+    print(pf.group(0) if pf else "(no PartitionFilters found)")
+    print("```")
+    ok8 = "ivf_cell" in t and "PartitionFilters" in t
+    print(f"\nprobe scan prunes to nprobe cells (reads nprobe/n_cells "
+          f"of the table, not all of it): {'OK' if ok8 else 'NO'}\n")
+
+    # 9. minhash signatures: aggregate over shingle rows, no 16x explode
+    from pears_lite_spark.dedup import minhash_signatures
+    t = (minhash_signatures(docs.limit(500))
+         ._jdf.queryExecution().executedPlan().toString())
+    n_gen = sum(1 for ln in t.splitlines() if "Generate explode" in ln)
+    print("## 9. MinHash signatures: map-side partial aggregate, "
+          "no num_hashes x row explode\n")
+    print("```")
+    print(f"Generate(explode) nodes: {n_gen} "
+          f"(1 = the shingle explode only; the 16 hash slots are "
+          f"min() aggregate expressions)")
+    print(f"Exchange nodes: {t.count('Exchange')}")
+    print("```\n")
     spark.stop()
 
 
