@@ -929,6 +929,83 @@ def q_media_resize_real(spark, sf_dir):
                       F.lower(F.sha2("payload", 256)).alias("payload_hex"))
 
 
+STEGO_PODS = {
+    "friends_pod.png": [
+        "0;https://example.org/a;Alpha Page;A snippet;0.1 0.2;3 1;True",
+        "1;https://example.org/b;Béta Pagé;Ünïcode snippet;0.3 0.4;2 2;False",
+        # ɣ (U+0263) and ʣ (U+02A3) need 3- and 2-value pixel splits —
+        # the scheme tops out at code point 765 (3 x 255)
+        "2;https://example.net/c;Gamma ɣ;ipa ʣ page;0.5;1;True",
+    ],
+    "second_pod.png": [
+        "0;https://pears.example/x;Xylo;shared by a friend;0.9 0.8;5;False",
+    ],
+}
+
+
+def _fixture_stego_pod_dir() -> str:
+    """S17 fixture: pod CSVs hidden in PNGs with the reference's pixel
+    scheme (`index_pod_file.py:23-40`), written through our OWN encoder
+    — the import query must PNG-decode + pixel-decode + parse to
+    reproduce the expected rows (computed from the pre-encode lines, so
+    a codec or scheme bug breaks the match)."""
+    import os
+    import tempfile
+    from .sources import encode_stego_pod_png
+    d = os.path.join(tempfile.gettempdir(), "pears_stego_pods")
+    os.makedirs(d, exist_ok=True)
+    for fname, lines in STEGO_PODS.items():
+        tmp = os.path.join(d, f".{fname}.tmp-{os.getpid()}")
+        with open(tmp, "wb") as fh:
+            fh.write(encode_stego_pod_png("\n".join(lines)))
+        os.replace(tmp, os.path.join(d, fname))
+    return d
+
+
+def _fixture_stego_expected_parquet() -> str:
+    import os
+    import tempfile
+    path = os.path.join(tempfile.gettempdir(), "pears_stego_expected.parquet")
+    if True:  # always rewrite (deterministic; fast)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        cols: dict = {k: [] for k in ("file", "line_no", "url", "title",
+                                      "snippet", "vector", "freqs", "cc")}
+        for fname, lines in STEGO_PODS.items():
+            for i, line in enumerate(lines):
+                f = line.split(";")
+                cols["file"].append(fname)
+                cols["line_no"].append(i)
+                cols["url"].append(f[1])
+                cols["title"].append(f[2])
+                cols["snippet"].append(f[3])
+                cols["vector"].append(f[4])
+                cols["freqs"].append(f[5])
+                cols["cc"].append(f[6] == "True")
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(pa.table({
+            "file": cols["file"],
+            "line_no": pa.array(cols["line_no"], pa.int32()),
+            "url": cols["url"], "title": cols["title"],
+            "snippet": cols["snippet"], "vector": cols["vector"],
+            "freqs": cols["freqs"], "cc": cols["cc"]}), tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def q_stego_pod_import(spark, sf_dir):
+    """S17: PNG-steganography pod import — binaryFile scan over a
+    directory of pod-share PNGs, per-file pixel decode in an Arrow
+    kernel (chr((255-r)+(255-g)+(255-b)) per pixel, last pixel
+    dropped — `index_pod_file.py:23-40`), `;`-split into the
+    parse_line record layout."""
+    from .sources import read_stego_pods
+    out = read_stego_pods(spark, _fixture_stego_pod_dir())
+    return out.select(
+        F.element_at(F.split("src", "/"), -1).alias("file"),
+        "line_no", "url", "title", "snippet", "vector", "freqs", "cc")
+
+
 def q_url_list_scan(spark, sf_dir):
     """S1: url;keyword;lang list parse with defaults."""
     from .sources import read_url_list
@@ -1069,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_pruned_top10": q_lsh_pruned_top10,
         "media_features_real": q_media_features_real,
         "media_resize_real": q_media_resize_real,
+        "stego_pod_import": q_stego_pod_import,
         # -- core operator set (green in round 2; keep evidence fresh)
         "tf_top_terms": q_tf_top_terms,
         "term_df": q_term_df,
@@ -1930,6 +2008,11 @@ SELECT doc_id, kind, n_bytes, hist_s FROM read_parquet('{path}')""".format(
         "media_resize_real": """
 SELECT doc_id, payload_hex FROM read_parquet('{path}')""".format(
             path=_fixture_media_resize_real_parquet()),
+
+        "stego_pod_import": """
+SELECT file, line_no, url, title, snippet, vector, freqs, cc
+FROM read_parquet('{path}')""".format(
+            path=_fixture_stego_expected_parquet()),
 
         "csv_docs": """
 SELECT 'people.csv#row [' || (row_number() OVER (

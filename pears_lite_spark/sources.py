@@ -199,6 +199,83 @@ def make_shareable_pod(docs_df: DataFrame, keyword: str,
                     .alias("line")))
 
 
+def encode_stego_pod_png(text: str) -> bytes:
+    """S17 export side: hide a pod CSV in a PNG using the reference's
+    pixel scheme (`/root/reference/app/pod_finder/index_pod_file.py:
+    23-40`): each RGB pixel p encodes one character as
+    chr((255-r)+(255-g)+(255-b)); one trailing 'transparency' pixel is
+    appended and discarded on import. Canonical split: r absorbs up to
+    255, then g, then b — any split decodes identically, this one is
+    deterministic. Encoded as a 1-row 8-bit RGB PNG via the built-in
+    codec (functions/codecs.py)."""
+    import numpy as np
+    from .functions.codecs import encode_png
+    codes = [ord(c) for c in text]
+    if any(c > 765 for c in codes):
+        raise ValueError("stego scheme encodes code points <= 765 only")
+    px = []
+    for c in codes:
+        a = min(c, 255)
+        b = min(c - a, 255)
+        d = c - a - b
+        px.append((255 - a, 255 - b, 255 - d))
+    px.append((255, 255, 255))  # transparency pixel, discarded on read
+    arr = np.asarray(px, dtype=np.uint8).reshape(1, len(px), 3)
+    return encode_png(arr)
+
+
+def decode_stego_pod_png(png: bytes) -> str:
+    """S17 import side, exact reference semantics: decode the PNG,
+    drop the last pixel, chr((255-r)+(255-g)+(255-b)) per pixel."""
+    import numpy as np
+    from .functions.codecs import decode_png
+    arr = decode_png(png)
+    if arr.ndim == 2:  # grayscale: r=g=b
+        arr = np.stack([arr] * 3, axis=-1)
+    flat = arr.reshape(-1, arr.shape[-1])[:, :3].astype(np.int64)
+    vals = (255 - flat).sum(axis=1)[:-1]
+    return "".join(chr(int(v)) for v in vals)
+
+
+def read_stego_pods(spark: SparkSession, path: str) -> DataFrame:
+    """S17: PNG-steganography pod import, distributed: `binaryFile`
+    scan (one row per .png, content never concatenated driver-side) ->
+    per-file decode in an Arrow-batched kernel -> one row per CSV line
+    -> `;`-split into the reference's record layout
+    (`index_pod_file.py:11-20`: fields 1..6 = url, title, snippet,
+    vector, freqs, cc). The decode fans out per file, so a directory of
+    pod shares from many friends imports as one job."""
+    from pyspark.sql import types as T
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"src": [], "line_no": [], "line": []}
+            for src, content in zip(pdf["path"], pdf["content"]):
+                text = decode_stego_pod_png(bytes(content))
+                for i, line in enumerate(text.split("\n")):
+                    if line:
+                        rows["src"].append(src)
+                        rows["line_no"].append(i)
+                        rows["line"].append(line)
+            yield pd.DataFrame(rows)
+
+    lines = (spark.read.format("binaryFile").option("pathGlobFilter", "*.png")
+             .load(path).select("path", "content")
+             .mapInPandas(kernel, schema=T.StructType([
+                 T.StructField("src", T.StringType()),
+                 T.StructField("line_no", T.IntegerType()),
+                 T.StructField("line", T.StringType())])))
+    f = F.split(F.col("line"), ";")
+    return lines.select(
+        "src", "line_no",
+        F.try_element_at(f, F.lit(2)).alias("url"),
+        F.try_element_at(f, F.lit(3)).alias("title"),
+        F.try_element_at(f, F.lit(4)).alias("snippet"),
+        F.try_element_at(f, F.lit(5)).alias("vector"),
+        F.try_element_at(f, F.lit(6)).alias("freqs"),
+        (F.try_element_at(f, F.lit(7)) == "True").alias("cc"))
+
+
 def subscribe_pod(docs_df: DataFrame, imported_df: DataFrame) -> DataFrame:
     """S16: pod subscribe import — union new docs, existing urls win
     (`/root/reference/app/pod_finder/controllers.py:158-212`), i.e.

@@ -97,6 +97,31 @@ def test_strict_media_features_video_raises(spark):
         extract_features_df(media, strict=True).collect()
 
 
+def test_stego_pod_png_round_trip():
+    """S17 pixel scheme (reference `index_pod_file.py:23-40`):
+    chr((255-r)+(255-g)+(255-b)) per pixel, last pixel discarded.
+    Round-trip through our encoder/decoder, incl. 2- and 3-value
+    splits, and the documented 765 ceiling."""
+    from pears_lite_spark.sources import (decode_stego_pod_png,
+                                          encode_stego_pod_png)
+    text = "0;https://e.org/a;T ɣ ʣ;snippet é\n1;u;t;s"
+    assert decode_stego_pod_png(encode_stego_pod_png(text)) == text
+    with pytest.raises(ValueError, match="765"):
+        encode_stego_pod_png("Γ")  # U+0393 = 915 > 3*255
+
+
+def test_stego_pod_import_df(spark, tmp_path):
+    from pears_lite_spark.sources import (encode_stego_pod_png,
+                                          read_stego_pods)
+    lines = ["0;https://a;T1;S1;0.1;2;True", "1;https://b;T2;S2;0.2;3;False"]
+    (tmp_path / "pod.png").write_bytes(encode_stego_pod_png("\n".join(lines)))
+    rows = {r["url"]: r for r in
+            read_stego_pods(spark, str(tmp_path)).collect()}
+    assert set(rows) == {"https://a", "https://b"}
+    assert rows["https://a"]["cc"] is True
+    assert rows["https://b"]["title"] == "T2"
+
+
 def test_strict_resize_real(spark):
     from pears_lite_spark.functions.multimodal import (
         resize_media_df, synth_media_real, synth_media_real_items)
