@@ -394,6 +394,65 @@ def q_fingerprints(spark, sf_dir):
     return fingerprints(_docs(spark, sf_dir))
 
 
+def q_span_dedup(spark, sf_dir):
+    """Sub-document (k-token span) dedup, C4-style: drop every 12-token
+    span that occurred earlier in the corpus (first (doc_id, pos) wins),
+    reassemble survivors. Oracle is a full SQL twin (window over span)."""
+    from .dedup import span_dedup
+    out = span_dedup(_docs(spark, sf_dir), k=12)
+    return out.select("doc_id", F.col("n_spans").cast("long").alias("n_spans"),
+                      F.col("n_kept").cast("long").alias("n_kept"),
+                      "text_clean")
+
+
+def _fixture_unigram_loglik_parquet() -> str:
+    """Expected unigram-LM doc scores computed DRIVER-SIDE with the same
+    binary model over the gate-scale documents table (pure Python — no
+    Spark): fixed-point integer sums, so executor-side aggregation must
+    reproduce them bit-for-bit."""
+    import os
+    import tempfile
+    path = os.path.join(tempfile.gettempdir(),
+                        "pears_uloglik_expected.parquet")
+    if True:  # always rewrite (deterministic; ~2s)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from .vocab import UNK_LOGPROB, get_vocab
+        v = get_vocab()
+        scores = {p: int(round(lp * 1e6)) for p, lp in v.logprob.items()}
+        unk = int(round(UNK_LOGPROB * 1e6))
+        tbl = pq.read_table(_oracle_sf_dir() + "/documents.parquet",
+                            columns=["doc_id", "text"])
+        ids, nps, sums, avgs = [], [], [], []
+        for did, text in zip(tbl["doc_id"].to_pylist(),
+                             tbl["text"].to_pylist()):
+            pieces = v.encode_as_pieces(text if isinstance(text, str) else "")
+            if not pieces:
+                continue
+            s = sum(scores.get(p, unk) for p in pieces)
+            ids.append(did)
+            nps.append(len(pieces))
+            sums.append(s)
+            avgs.append(s / (len(pieces) * 1e6))
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_pieces": pa.array(nps, pa.int64()),
+            "sum_lp_e6": pa.array(sums, pa.int64()),
+            "avg_logprob": pa.array(avgs, pa.float64())}), tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def q_unigram_loglik(spark, sf_dir):
+    """LM quality filter (unigram-LM mean piece log-prob per doc, exact
+    fixed-point sums). Oracle: driver-side pure-Python computation with
+    the same binary model — executor tokenization + broadcast-join +
+    integer aggregation must reproduce it exactly."""
+    from .functions.textstats import unigram_loglik
+    return unigram_loglik(_docs(spark, sf_dir))
+
+
 def q_embedding_top10(spark, sf_dir):
     from .ann import brute_topk
     emb = _emb(spark, sf_dir)
@@ -1147,6 +1206,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features_real": q_media_features_real,
         "media_resize_real": q_media_resize_real,
         "stego_pod_import": q_stego_pod_import,
+        "span_dedup": q_span_dedup,
+        "unigram_loglik": q_unigram_loglik,
         # -- core operator set (green in round 2; keep evidence fresh)
         "tf_top_terms": q_tf_top_terms,
         "term_df": q_term_df,
@@ -2013,6 +2074,32 @@ SELECT doc_id, payload_hex FROM read_parquet('{path}')""".format(
 SELECT file, line_no, url, title, snippet, vector, freqs, cc
 FROM read_parquet('{path}')""".format(
             path=_fixture_stego_expected_parquet()),
+
+        "span_dedup": """
+WITH t AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS tk
+           FROM documents),
+d AS (SELECT doc_id, tk, cast(ceil(len(tk) / 12.0) AS INT) AS nsp
+      FROM t WHERE len(tk) > 0),
+s AS (SELECT doc_id, i AS pos,
+        array_to_string(list_slice(tk, i*12 + 1, i*12 + 12), ' ') AS span
+      FROM d, unnest(range(0, nsp)) AS u(i)),
+r AS (SELECT doc_id, pos, span,
+        row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rnk
+      FROM s),
+kept AS (SELECT doc_id, pos, span FROM r WHERE rnk = 1),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+          string_agg(span, ' ' ORDER BY pos) AS text_clean
+        FROM kept GROUP BY doc_id)
+SELECT d.doc_id, d.nsp::BIGINT AS n_spans,
+       coalesce(agg.n_kept, 0)::BIGINT AS n_kept,
+       coalesce(agg.text_clean, '') AS text_clean
+FROM d LEFT JOIN agg USING (doc_id)""",
+
+        "unigram_loglik": """
+SELECT doc_id, n_pieces, sum_lp_e6, avg_logprob
+FROM read_parquet('{path}')""".format(
+            path=_fixture_unigram_loglik_parquet()),
 
         "csv_docs": """
 SELECT 'people.csv#row [' || (row_number() OVER (

@@ -40,6 +40,44 @@ def exact_dedup(docs_df: DataFrame, key_col: str = "text",
     return docs_df.join(winners, id_col, "left_semi")
 
 
+def span_dedup(docs_df: DataFrame, k: int = 12, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Sub-document dedup, C4/RefinedWeb-style: split each doc into
+    consecutive k-token spans, drop every span that already occurred
+    anywhere in the corpus (first occurrence by (doc_id, position)
+    wins), reassemble the survivors. Returns
+    (doc_id, n_spans, n_kept, text_clean).
+
+    Scale shape: the only wide exchange is the span-keyed window (one
+    shuffle of (span, doc_id, pos) — the reassembly groupBy reuses the
+    doc partitioning); no pair space, no cross join. Boilerplate
+    sentences repeated across a web crawl (cookie banners, footers) are
+    exactly this operator's target. At 100 TB hash the span to a 128-bit
+    key before the shuffle if span strings are long (here they join the
+    oracle bit-for-bit as strings)."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    base = (docs_df.select(id_col, toks.alias("_t"))
+            .filter(F.size("_t") > 0))
+    nsp = F.ceil(F.size("_t") / F.lit(float(k))).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), nsp - 1),
+        lambda i: F.concat_ws(" ", F.slice("_t", i * k + 1, k)))
+    ex = base.select(id_col, F.posexplode(spans).alias("pos", "span"))
+    w = Window.partitionBy("span").orderBy(F.asc(id_col), F.asc("pos"))
+    kept = (ex.withColumn("_rnk", F.row_number().over(w))
+            .filter(F.col("_rnk") == 1))
+    agg = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(" ", F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "span"))),
+            lambda s: s["span"])).alias("text_clean"))
+    return (base.select(id_col, nsp.alias("n_spans"))
+            .join(agg, id_col, "left")
+            .select(id_col, "n_spans",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    F.coalesce("text_clean", F.lit("")).alias("text_clean")))
+
+
 def shingles(docs_df: DataFrame, n: int = DEFAULT_SHINGLE,
              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Distinct word n-gram shingles per doc: (doc_id, shingle)."""

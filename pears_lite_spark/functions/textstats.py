@@ -149,3 +149,38 @@ def fingerprints(docs_df: DataFrame, id_col: str = "doc_id",
          .rowsBetween(0, window - 1))
     return (exploded.withColumn("fp", F.min("h").over(w))
             .select(id_col, F.col("fp").alias("fingerprint")).distinct())
+
+
+def unigram_loglik(docs_df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """LM-based quality signal (the CCNet/Wikipedia-LM filter pattern,
+    with the shipped SentencePiece unigram model itself as the LM):
+    tokenize, look each piece's log-prob up in the binary model, and
+    score the doc by total/mean piece log-prob. Low (very negative)
+    means the doc is made of rare pieces — gibberish, wrong language,
+    or byte soup; the standard pretraining-corpus filter signal.
+
+    Determinism: scores go in as fixed-point 1e6 integers, so the
+    distributed SUM is exact integer arithmetic — bit-identical to any
+    oracle regardless of partitioning or summation order (a float sum
+    would differ in the last ulps run-to-run). Output:
+    (doc_id, n_pieces, sum_lp_e6, avg_logprob)."""
+    from ..index.build import tokenize_spm
+    from ..vocab import UNK_LOGPROB, get_vocab
+    v = get_vocab()
+    spark = docs_df.sparkSession
+    scores = spark.createDataFrame(
+        [(p, int(round(lp * 1e6))) for p, lp in v.logprob.items()],
+        "piece string, s long")
+    toks = tokenize_spm(docs_df.select(id_col, text_col))
+    ex = toks.select(id_col, F.explode("tokens").alias("piece"))
+    unk = int(round(UNK_LOGPROB * 1e6))
+    j = (ex.join(F.broadcast(scores), "piece", "left")
+         .withColumn("s", F.coalesce("s", F.lit(unk))))
+    return (j.groupBy(id_col)
+            .agg(F.count("*").alias("n_pieces"),
+                 F.sum("s").alias("sum_lp_e6"))
+            .select(id_col, "n_pieces", "sum_lp_e6",
+                    (F.col("sum_lp_e6")
+                     / (F.col("n_pieces") * F.lit(1000000.0)))
+                    .alias("avg_logprob")))

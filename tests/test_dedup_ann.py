@@ -74,6 +74,42 @@ def test_brute_topk_matches_numpy(spark, emb):
     assert got == exp
 
 
+def test_span_dedup_drops_repeated_spans_keeps_first(spark):
+    """C4-style span dedup: a 12-token boilerplate block shared by two
+    docs survives only in the earlier one; unique spans all survive."""
+    from pears_lite_spark.dedup import span_dedup
+    boiler = " ".join(f"b{i}" for i in range(12))
+    uniq_a = " ".join(f"a{i}" for i in range(12))
+    uniq_b = " ".join(f"c{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, boiler + " " + uniq_a), (2, boiler + " " + uniq_b),
+         (3, "short tail")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in span_dedup(docs, k=12).collect()}
+    assert out[1]["n_spans"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["text_clean"] == boiler + " " + uniq_a
+    assert out[2]["n_spans"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["text_clean"] == uniq_b          # boilerplate dropped
+    assert out[3]["n_kept"] == 1 and out[3]["text_clean"] == "short tail"
+
+
+def test_unigram_loglik_matches_hand_computation(spark):
+    from pears_lite_spark.functions.textstats import unigram_loglik
+    from pears_lite_spark.vocab import UNK_LOGPROB, get_vocab
+    v = get_vocab()
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "zzqqj xq")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in unigram_loglik(docs).collect()}
+    for did, text in [(1, "hello world"), (2, "zzqqj xq")]:
+        pieces = v.encode_as_pieces(text)
+        want = sum(int(round(v.logprob.get(p, UNK_LOGPROB) * 1e6))
+                   for p in pieces)
+        assert out[did]["n_pieces"] == len(pieces)
+        assert out[did]["sum_lp_e6"] == want       # exact integer sum
+    # rarer pieces -> lower mean log-prob
+    assert out[2]["avg_logprob"] < out[1]["avg_logprob"]
+
+
 def test_jaccard_candidates_prune_before_shingle_join(spark, dup_docs):
     """The candidates semi-join must land UPSTREAM of the shingle
     self-join (the 100 TB guard): non-candidate docs never reach the
