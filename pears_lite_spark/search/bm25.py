@@ -426,7 +426,7 @@ class Searcher:
                  term_dfs: dict[int, int] | None = None,
                  n_partitions: int | None = None,
                  k1: float = K1, b: float = B,
-                 flat_cache: bool = True):
+                 flat_cache: bool = True, flat_batch_size: int = 8192):
         import threading
         self.stats = stats
         self.k1, self.b = k1, b
@@ -435,6 +435,13 @@ class Searcher:
         # crash-proof under concurrent callers (they serialize — for
         # parallel QPS use batch_topk or one SparkSession per thread)
         self._flat_lock = threading.Lock()
+        # cached-batch granularity of the flat projection: batch min/max
+        # term_id stats prune scans, so SMALLER batches prune finer at
+        # the cost of more header checks. Measured sweep (BASELINE.md
+        # round 3, sf0.1): 65536 -> 137 ms p50, 8192 -> ~100 ms, 2048
+        # regresses; at 5x corpus the fixed job cost dominates and the
+        # knob is flat. 8192 is the knee.
+        self._flat_batch_size = flat_batch_size
         self._has_part = "part" in postings.columns
         cols = ["term_id", "doc_range", "block_id", "first_doc",
                 "last_doc", "n", "max_impact", "docs", "tfs", "dls"]
@@ -503,9 +510,10 @@ class Searcher:
                 .repartition(n_parts, "doc_range")
                 .sortWithinPartitions("term_id", "doc_id"))
         with _scoped_conf(spark, {
-                # bigger batches: the sort makes term_id min/max stats
-                # prune scans, so batch count dominates scan cost
-                "spark.sql.inMemoryColumnarStorage.batchSize": "65536"}):
+                # batch sizing: the sort makes term_id min/max stats
+                # prune scans (see _flat_batch_size comment in __init__)
+                "spark.sql.inMemoryColumnarStorage.batchSize":
+                    str(self._flat_batch_size)}):
             self.flat = flat.persist()
             self.flat.count()
         self._view = f"pears_flat_{id(self)}"
