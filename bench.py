@@ -275,6 +275,14 @@ def main():
         t0 = time.time()
         quality_scores(docs_tbl).count()
         queries_sec["quality_scores"] = round(time.time() - t0, 3)
+        from pears_lite_spark.dedup import span_dedup
+        t0 = time.time()
+        span_dedup(docs_tbl, k=12).count()
+        queries_sec["span_dedup"] = round(time.time() - t0, 3)
+        from pears_lite_spark.functions.textstats import unigram_loglik
+        t0 = time.time()
+        unigram_loglik(docs_tbl).count()
+        queries_sec["unigram_loglik"] = round(time.time() - t0, 3)
     finally:
         spark.stop()
 
