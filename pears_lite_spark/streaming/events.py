@@ -166,3 +166,63 @@ def stream_event_counts(spark: SparkSession, events_dir: str,
          .start(out_path))
     q.awaitTermination()
     return q
+
+
+# --------------------------------------------------------- streaming dedup
+
+DEDUP_OUT = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text_md5", T.StringType()),
+])
+
+DEDUP_STATE = T.StructType([T.StructField("seen", T.BooleanType())])
+
+
+def dedup_stateful(docs: DataFrame) -> DataFrame:
+    """Streaming exact dedup (the streaming twin of `dedup.exact_dedup`
+    and the reference's dedup-before-insert, P4): the FIRST arrival of
+    each md5(text) passes through, every later duplicate — same or any
+    later micro-batch — is dropped. State is one boolean per distinct
+    key. Within a micro-batch the lowest doc_id wins (deterministic);
+    across batches, arrival order wins (streaming semantics).
+
+    Scale note: state grows with distinct keys (16 B + key per doc).
+    At web scale bound it with a key-TTL timeout (duplicates arrive
+    close together in crawl streams) or shard the stream by key range
+    and periodically compact state against the indexed corpus —
+    NoTimeout here keeps the operator's semantics exact for tests."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        if state.exists:           # seen in an earlier micro-batch
+            return
+        rows = pd.concat(list(pdfs))
+        state.update((True,))
+        yield pd.DataFrame({
+            "doc_id": [int(rows["doc_id"].min())],
+            "text_md5": [key[0]]})
+
+    keyed = docs.withColumn("text_md5", F.md5(F.col("text")))
+    return (keyed.groupBy("text_md5")
+            .applyInPandasWithState(fn, DEDUP_OUT, DEDUP_STATE,
+                                    "append", GroupStateTimeout.NoTimeout))
+
+
+def stream_dedup(spark: SparkSession, docs_dir: str, out_path: str,
+                 checkpoint_dir: str, schema=None):
+    """Drain `docs_dir` through the stateful dedup into an append-mode
+    parquet of first-occurrence (doc_id, text_md5) rows."""
+    if schema is None:
+        schema = T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType())])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(docs_dir))
+    out = dedup_stateful(stream)
+    q = (out.writeStream.outputMode("append")
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start(out_path))
+    q.awaitTermination()
+    return q

@@ -338,3 +338,38 @@ def test_stateful_sessionize_matches_batch_session_window(spark, tmp_path):
                         "left_anti")
     n_types = ev.select("event_type").distinct().count()
     assert missed.count() <= n_types
+
+
+def test_stream_dedup_first_arrival_wins(spark, tmp_path):
+    """Streaming exact dedup (P4's streaming twin): duplicates inside
+    one micro-batch AND across later micro-batches are dropped; the
+    survivor set equals the batch exact_dedup winners when arrival
+    order matches id order."""
+    import pandas as pd
+    from pears_lite_spark.streaming.events import stream_dedup
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    batches = [
+        # batch 0: in-batch duplicate (ids 1,2 same text) -> 1 wins
+        [(1, "alpha text"), (2, "alpha text"), (3, "beta text")],
+        # batch 1: cross-batch duplicate of 'alpha' -> dropped; new ok
+        [(10, "alpha text"), (11, "gamma text")],
+        # batch 2: duplicate of batch-1 text and one more new
+        [(20, "gamma text"), (21, "delta text")],
+    ]
+    for i, rows in enumerate(batches):
+        p = str(src / f"b{i}.parquet")
+        pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(p)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    out = str(tmp_path / "deduped")
+    stream_dedup(spark, str(src), out, str(tmp_path / "ckpt"))
+    got = {int(r["doc_id"]) for r in spark.read.parquet(out).collect()}
+    assert got == {1, 3, 11, 21}
+    # equals the batch twin on the union (ids ordered by arrival)
+    from pears_lite_spark.dedup import exact_dedup
+    union = spark.createDataFrame(
+        [r for b in batches for r in b], "doc_id long, text string")
+    batch_ids = {int(r["doc_id"])
+                 for r in exact_dedup(union).select("doc_id").collect()}
+    assert got == batch_ids
