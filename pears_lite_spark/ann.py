@@ -182,6 +182,117 @@ def ivf_topk(emb_df: DataFrame, query_vec: list[float], k: int = 10,
     return brute_topk(cand, [float(x) for x in q], k, id_col, vec_col)
 
 
+# ------------------------------------------------------------------ PQ
+# Product quantization (Jégou et al. 2011, the "PQ" in IVF-PQ): split
+# the L2-normalized vector into m subspaces, quantize each against its
+# own ks-centroid codebook -> m small codes per vector (here m=8, ks=16
+# over 64 dims: 8 codes vs 64 floats, a 16-32x scan-size reduction —
+# THE compression lever at 100 TB vector scale). Query scoring is a
+# lookup-table sum (asymmetric distance): LUT[j][c] = <q_sub_j, c_jc>,
+# approx_cos(v) = sum_j LUT[j][code_j(v)] — pure column algebra, no
+# UDF, stays in whole-stage codegen. Exact cosine re-ranks the top
+# `refine` candidates (standard ADC + refine).
+
+
+def _with_normalized(df: DataFrame, vec_col: str) -> DataFrame:
+    """Adds `_vn` = v/||v|| (float64). Two projections so the norm is
+    evaluated once per row, not once per element."""
+    v = _as_double(F.col(vec_col))
+    return (df.withColumn("_nrm", _norm(v))
+            .withColumn("_vn", F.transform(v, lambda x: x / F.col("_nrm"))))
+
+
+def pq_codebooks_from_sample(X: np.ndarray, m: int = 16, ks: int = 16,
+                             iters: int = 5,
+                             seed: int = LSH_SEED) -> np.ndarray:
+    """Pure-numpy PQ training core (shared by the Spark trainer and
+    the DuckDB oracle generator so both inline IDENTICAL codebooks):
+    L2-normalize rows, per-subspace deterministic Lloyd."""
+    Xn = X / np.sqrt((X * X).sum(axis=1, keepdims=True))
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return np.stack([
+        lloyd_kmeans(np.ascontiguousarray(Xn[:, j * dsub:(j + 1) * dsub]),
+                     ks, iters, seed + j)
+        for j in range(m)])
+
+
+def train_pq_codebooks(emb_df: DataFrame, m: int = 16, ks: int = 16,
+                       n_train: int = 2048, iters: int = 5,
+                       seed: int = LSH_SEED, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> np.ndarray:
+    """Per-subspace Lloyd codebooks trained on the deterministic
+    id-ordered sample (same bounded-sample policy as the IVF coarse
+    quantizer). Returns (m, ks, dim/m) float64."""
+    rows = (emb_df.filter(F.col(id_col) < n_train)
+            .orderBy(id_col).select(vec_col).collect())
+    X = np.asarray([list(map(float, r[0])) for r in rows], dtype=np.float64)
+    return pq_codebooks_from_sample(X, m, ks, iters, seed)
+
+
+def with_pq_codes(emb_df: DataFrame, books: np.ndarray,
+                  vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector's m subspace codes (argmin of
+    -2<v_j,c> + ||c||^2 per subspace, first-min tie-break) — pure
+    column algebra, identical expression order to the DuckDB oracle."""
+    m, ks, dsub = books.shape
+    df = _with_normalized(emb_df, vec_col)
+    codes = []
+    for j in range(m):
+        sub = F.slice(F.col("_vn"), j * dsub + 1, dsub)
+        d = _cell_dists(sub, books[j])
+        codes.append(F.array_position(d, F.array_min(d)).cast("int") - 1)
+    return (df.withColumn("pq_codes", F.array(*codes))
+            .drop("_nrm", "_vn"))
+
+
+def _pq_lut(query_vec: list[float], books: np.ndarray) -> np.ndarray:
+    """LUT[j][c] = <q_normalized subspace j, codebook j centroid c>."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / (np.sqrt((q * q).sum()) or 1.0)
+    m, ks, dsub = books.shape
+    return np.stack([books[j] @ qn[j * dsub:(j + 1) * dsub]
+                     for j in range(m)])
+
+
+def pq_approx_score(books: np.ndarray, query_vec: list[float],
+                    codes_col: str = "pq_codes"):
+    """Column expression: sum_j LUT[j][codes[j]] (asymmetric distance
+    computation, all JVM-side — the scan never touches the float
+    vectors)."""
+    lut = _pq_lut(query_vec, books)
+    terms = []
+    for j in range(lut.shape[0]):
+        arr = F.array(*[F.lit(float(x)) for x in lut[j]])
+        terms.append(F.element_at(
+            arr, F.element_at(F.col(codes_col), j + 1) + F.lit(1)))
+    s = terms[0]
+    for t in terms[1:]:
+        s = s + t
+    return s
+
+
+def pq_topk(emb_df: DataFrame, query_vec: list[float],
+            books: np.ndarray | None = None, k: int = 10,
+            refine: int = 100, id_col: str = "vec_id",
+            vec_col: str = "embedding") -> DataFrame:
+    """ADC top-k: LUT-sum approximate cosine over PQ codes, exact
+    cosine re-rank of the top `refine` candidates. The algorithm path
+    encodes at query time; the serving path reads STORED codes from the
+    materialized index (`ivf_pq_topk_indexed`)."""
+    if books is None:
+        books = train_pq_codebooks(emb_df, id_col=id_col, vec_col=vec_col)
+    coded = with_pq_codes(emb_df, books, vec_col)
+    approx = pq_approx_score(books, query_vec)
+    cand = (coded.withColumn("_approx", approx)
+            .orderBy(F.desc("_approx"), F.asc(id_col)).limit(refine)
+            .drop("_approx", "pq_codes"))
+    return brute_topk(cand, [float(x) for x in query_vec], k,
+                      id_col, vec_col)
+
+
 # ---------------------------------------------------------------------------
 # Materialized ANN index (the 100 TB serving artifact)
 #
@@ -200,6 +311,7 @@ ANN_META = "ann_meta.json"
 def write_ann_index(emb_df: DataFrame, path: str, n_cells: int = 16,
                     centroids: np.ndarray | None = None,
                     n_planes: int = 8, n_tables: int = 4,
+                    pq_m: int = 16, pq_ks: int = 16,
                     id_col: str = "vec_id",
                     vec_col: str = "embedding") -> dict:
     """Materialize the ANN serving artifact under `path`:
@@ -222,9 +334,16 @@ def write_ann_index(emb_df: DataFrame, path: str, n_cells: int = 16,
     if centroids is None:
         centroids = train_ivf_centroids(emb_df, n_cells=n_cells,
                                         id_col=id_col, vec_col=vec_col)
+    dim = _dim_of(emb_df, vec_col)
+    pq_m = pq_m if dim % (pq_m or 1) == 0 else 0
+    books = None
     base = emb_df.select(id_col, vec_col)
-    (with_ivf_cell(base, centroids, vec_col)
-     .write.mode("overwrite").partitionBy("ivf_cell")
+    ivf = with_ivf_cell(base, centroids, vec_col)
+    if pq_m:
+        books = train_pq_codebooks(emb_df, m=pq_m, ks=pq_ks,
+                                   id_col=id_col, vec_col=vec_col)
+        ivf = with_pq_codes(ivf, books, vec_col)
+    (ivf.write.mode("overwrite").partitionBy("ivf_cell")
      .parquet(os.path.join(path, "ivf")))
     lsh = None
     for t in range(n_tables):
@@ -239,7 +358,11 @@ def write_ann_index(emb_df: DataFrame, path: str, n_cells: int = 16,
             "dim": int(centroids.shape[1]),
             "centroids": [[float(x) for x in c] for c in centroids],
             "n_planes": n_planes, "n_tables": n_tables,
-            "lsh_seed": LSH_SEED, "id_col": id_col, "vec_col": vec_col}
+            "lsh_seed": LSH_SEED, "id_col": id_col, "vec_col": vec_col,
+            "pq_m": int(books.shape[0]) if books is not None else 0,
+            "pq_ks": int(books.shape[1]) if books is not None else 0,
+            "pq_books": ([[[float(x) for x in c] for c in b]
+                          for b in books] if books is not None else None)}
     tmp = os.path.join(path, ANN_META + ".tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f)
@@ -271,8 +394,11 @@ def append_ann_index(emb_df: DataFrame, path: str) -> None:
     C = np.asarray(meta["centroids"], dtype=np.float64)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     base = emb_df.select(id_col, vec_col)
-    (with_ivf_cell(base, C, vec_col)
-     .write.mode("append").partitionBy("ivf_cell")
+    ivf = with_ivf_cell(base, C, vec_col)
+    if meta.get("pq_m"):
+        books = np.asarray(meta["pq_books"], dtype=np.float64)
+        ivf = with_pq_codes(ivf, books, vec_col)
+    (ivf.write.mode("append").partitionBy("ivf_cell")
      .parquet(os.path.join(path, "ivf")))
     lsh = None
     for t in range(meta["n_tables"]):
@@ -302,6 +428,34 @@ def ivf_topk_indexed(spark, path: str, query_vec: list[float],
           .filter(F.col("ivf_cell").isin(probe)).drop("ivf_cell"))
     return brute_topk(df, [float(x) for x in q], k,
                       meta["id_col"], meta["vec_col"])
+
+
+def ivf_pq_topk_indexed(spark, path: str, query_vec: list[float],
+                        k: int = 10, nprobe: int = 4,
+                        refine: int = 100) -> DataFrame:
+    """The full FAISS-style IVF-PQ serving path over the materialized
+    index: (1) driver-side coarse probe -> partition-pruned scan of
+    nprobe cells; (2) LUT-sum approximate cosine over the STORED
+    pq_codes (JVM column algebra — the candidate scan never touches
+    the float vectors' arithmetic); (3) exact cosine re-rank of the
+    top `refine`. At 100 TB the scan cost of step 2 is the codes
+    column (m bytes/vector), ~30x less than the embeddings."""
+    import os
+    meta = read_ann_meta(path)
+    if not meta.get("pq_m"):
+        raise ValueError("index was written without PQ codes")
+    books = np.asarray(meta["pq_books"], dtype=np.float64)
+    C = np.asarray(meta["centroids"], dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    d = -2.0 * (C @ q) + (C * C).sum(axis=1)
+    probe = sorted(int(i) for i in np.argsort(d, kind="stable")[:nprobe])
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    cand = (spark.read.parquet(os.path.join(path, "ivf"))
+            .filter(F.col("ivf_cell").isin(probe))
+            .withColumn("_approx", pq_approx_score(books, list(map(float, q))))
+            .orderBy(F.desc("_approx"), F.asc(id_col)).limit(refine)
+            .drop("_approx", "pq_codes", "ivf_cell"))
+    return brute_topk(cand, [float(x) for x in q], k, id_col, vec_col)
 
 
 def lsh_topk_indexed(spark, path: str, query_vec: list[float],

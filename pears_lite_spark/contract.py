@@ -501,7 +501,7 @@ def _fixture_ann_index(spark, sf_dir) -> str:
     import tempfile
     from .ann import write_ann_index
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.join(tempfile.gettempdir(), f"pears_ann_idx_{tag}")
+    path = os.path.join(tempfile.gettempdir(), f"pears_ann_idx2_{tag}")
     marker = os.path.join(path, "ann_meta.json")
     if not os.path.exists(marker):
         write_ann_index(_emb(spark, sf_dir), path)
@@ -533,6 +533,22 @@ def q_lsh_pruned_top10(spark, sf_dir):
     path = _fixture_ann_index(spark, sf_dir)
     out = lsh_topk_indexed(spark, path, [float(x) for x in qvec],
                            k=10, max_hamming=1)
+    return out.select("vec_id", F.round("cosine", 5).alias("cos_r"))
+
+
+def q_ivf_pq_top10(spark, sf_dir):
+    """FAISS-style IVF-PQ over the MATERIALIZED index: partition-pruned
+    coarse probe (nprobe=4), LUT-sum approximate cosine over the STORED
+    product-quantization codes (JVM column algebra — the candidate scan
+    reads m=16 small codes, not 64 floats), exact cosine re-rank of the
+    top 100. Oracle mirrors the whole chain (cells + codes + LUT +
+    refine) in SQL with the identical numpy-trained literals."""
+    from .ann import ivf_pq_topk_indexed
+    emb = _emb(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    path = _fixture_ann_index(spark, sf_dir)
+    out = ivf_pq_topk_indexed(spark, path, [float(x) for x in qvec],
+                              k=10, nprobe=4, refine=100)
     return out.select("vec_id", F.round("cosine", 5).alias("cos_r"))
 
 
@@ -1208,6 +1224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stego_pod_import": q_stego_pod_import,
         "span_dedup": q_span_dedup,
         "unigram_loglik": q_unigram_loglik,
+        "ivf_pq_top10": q_ivf_pq_top10,
         # -- core operator set (green in round 2; keep evidence fresh)
         "tf_top_terms": q_tf_top_terms,
         "term_df": q_term_df,
@@ -1317,6 +1334,77 @@ a AS (SELECT vec_id, v,
 q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
 cand AS (SELECT vec_id, v FROM a
          WHERE cell IN ({", ".join(map(str, probe))})),
+s AS (SELECT cand.vec_id,
+        list_dot_product(cand.v, q.qv)
+        / (sqrt(list_dot_product(cand.v, cand.v))
+           * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+      FROM cand, q)
+SELECT vec_id, round(cosine, 5) AS cos_r FROM s
+ORDER BY cosine DESC, vec_id LIMIT 10"""
+
+
+def _ivf_pq_oracle(nprobe: int = 4, refine: int = 100) -> str:
+    """Exact SQL twin of the FULL IVF-PQ serving chain
+    (q_ivf_pq_top10): coarse-cell assignment on the raw vectors with
+    the IDENTICAL numpy-trained centroids (same as _ivf_oracle), cell
+    filter to the driver-computed nprobe probe set, L2-normalize (same
+    IEEE op order via list_dot_product), per-subspace argmin codes
+    against the IDENTICAL codebooks (literals), LUT-sum approximate
+    cosine, top-`refine` by (approx DESC, vec_id), exact cosine
+    re-rank."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from .ann import lloyd_kmeans, pq_codebooks_from_sample
+    tbl = pq.read_table(_oracle_sf_dir() + "/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    vid = np.asarray(tbl["vec_id"])
+    order = np.argsort(vid, kind="stable")
+    X = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)[order]
+    sel = vid[order] < 2048
+    C = lloyd_kmeans(X[sel], n_cells=16, iters=5)
+    books = pq_codebooks_from_sample(X[sel], m=16, ks=16)
+    m, ks, dsub = books.shape
+    q = X[vid[order] == 0][0]
+    dq = -2.0 * (C @ q) + (C * C).sum(axis=1)
+    probe = sorted(int(i) for i in np.argsort(dq, kind="stable")[:nprobe])
+    qn = q / np.sqrt((q * q).sum())
+    lut = np.stack([books[j] @ qn[j * dsub:(j + 1) * dsub]
+                    for j in range(m)])
+
+    def arr(c):
+        return "[" + ", ".join(repr(float(x)) for x in c) + "]"
+
+    cell_dlist = "[" + ", ".join(
+        f"-2.0 * list_dot_product(v, {arr(c)}) + {float((c*c).sum())!r}"
+        for c in C) + "]"
+    code_exprs = []
+    for j in range(m):
+        sub = f"list_slice(vn, {j * dsub + 1}, {j * dsub + dsub})"
+        dlist = "[" + ", ".join(
+            f"-2.0 * list_dot_product({sub}, {arr(c)}) + {float((c*c).sum())!r}"
+            for c in books[j]) + "]"
+        code_exprs.append(
+            f"list_indexof({dlist}, list_aggregate({dlist}, 'min'))")
+    # code exprs are 1-based (list_indexof) so they index the LUT direct
+    approx = " + ".join(
+        f"list_extract({arr(lut[j])}, c{j})" for j in range(m))
+    codes_sel = ", ".join(f"{e} AS c{j}" for j, e in enumerate(code_exprs))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pc AS (SELECT vec_id, v,
+         list_indexof({cell_dlist},
+                      list_aggregate({cell_dlist}, 'min')) - 1 AS cell
+       FROM e),
+p AS (SELECT vec_id, v FROM pc
+      WHERE cell IN ({", ".join(map(str, probe))})),
+n AS (SELECT vec_id, v,
+        list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
+      FROM p),
+c AS (SELECT vec_id, v, {codes_sel} FROM n),
+a AS (SELECT vec_id, v, {approx} AS approx FROM c),
+cand AS (SELECT vec_id, v FROM a ORDER BY approx DESC, vec_id
+         LIMIT {refine}),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
 s AS (SELECT cand.vec_id,
         list_dot_product(cand.v, q.qv)
         / (sqrt(list_dot_product(cand.v, cand.v))
@@ -2014,6 +2102,8 @@ SELECT url, ok, n_chars::BIGINT AS n_chars FROM read_parquet('{path}')""".format
         "ivf_pruned_top10": _ivf_oracle(),
 
         "lsh_pruned_top10": _ann_lsh_oracle(),
+
+        "ivf_pq_top10": _ivf_pq_oracle(),
 
         "phrase_c6_scores": """
 SELECT doc_id, phrase_score_r FROM read_parquet('{path}')""".format(

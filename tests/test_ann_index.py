@@ -123,6 +123,49 @@ def test_append_then_probe_sees_union(spark, emb_df, tmp_path):
     assert any(v >= 300 for v in got)
 
 
+def test_ivf_pq_stored_codes_and_probe(spark, emb_df, index_path):
+    """The materialized index stores PQ codes; the IVF-PQ probe prunes
+    partitions, LUT-scores the stored codes, and the exact refine makes
+    full-probe + large-refine degrade to brute force."""
+    from pears_lite_spark.ann import ivf_pq_topk_indexed, read_ann_meta
+    meta = read_ann_meta(index_path)
+    assert meta["pq_m"] == 16 and meta["pq_ks"] == 16
+    row = spark.read.parquet(index_path + "/ivf").first()
+    assert len(row["pq_codes"]) == 16
+    assert all(0 <= c < 16 for c in row["pq_codes"])
+    q = _query_vec(emb_df, vid=2)
+    a = [r["vec_id"] for r in brute_topk(emb_df, q, k=10).collect()]
+    b = [r["vec_id"] for r in
+         ivf_pq_topk_indexed(spark, index_path, q, k=10, nprobe=8,
+                             refine=400).collect()]
+    assert a == b  # refine >= table size + all cells -> exact
+
+
+def test_ivf_pq_probe_plan_partition_prunes(spark, emb_df, index_path):
+    import re
+    from pears_lite_spark.ann import ivf_pq_topk_indexed
+    q = _query_vec(emb_df, vid=2)
+    plan = ivf_pq_topk_indexed(spark, index_path, q, k=10, nprobe=3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "ivf_cell" in m.group(1), plan
+
+
+def test_pq_topk_recall(spark, emb_df):
+    """ADC + refine keeps high top-10 recall on the algorithm path."""
+    from pears_lite_spark.ann import pq_topk, train_pq_codebooks
+    books = train_pq_codebooks(emb_df, m=16)
+    hits = total = 0
+    for vid in range(5):
+        q = _query_vec(emb_df, vid=vid)
+        truth = {r["vec_id"] for r in brute_topk(emb_df, q, k=10).collect()}
+        got = {r["vec_id"] for r in
+               pq_topk(emb_df, q, books, k=10, refine=100).collect()}
+        hits += len(truth & got)
+        total += len(truth)
+    assert hits / total >= 0.7, f"recall {hits}/{total}"
+
+
 def test_lsh_indexed_recall_vs_brute(spark, emb_df, index_path):
     """Multi-table Hamming-1 probing keeps high top-10 recall."""
     hits = total = 0
