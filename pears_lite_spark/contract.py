@@ -607,6 +607,54 @@ def q_bfs_reach(spark, sf_dir):
     return out.select("node", F.col("depth").cast("long").alias("depth"))
 
 
+def q_pagerank(spark, sf_dir):
+    """Link-authority ranking of the crawl graph (same namespaced
+    customer->order->part graph as bfs_reach): 5 power iterations of
+    deterministic fixed-point PageRank (int64 micro-units, floor
+    division — exact distributed sums). Oracle: the identical integer
+    recurrence unrolled as 5 CTE stages."""
+    from .sources import pagerank
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e1 = orders.select((F.col("o_custkey") * 3).alias("src"),
+                       (F.col("o_orderkey") * 3 + 1).alias("dst"))
+    e2 = li.select((F.col("l_orderkey") * 3 + 1).alias("src"),
+                   (F.col("l_partkey") * 3 + 2).alias("dst"))
+    out = pagerank(e1.unionByName(e2), iters=5)
+    return out.select(F.col("node").cast("long").alias("node"),
+                      "rank_e12")
+
+
+def _pagerank_oracle(iters: int = 5) -> str:
+    """Unrolled-CTE twin of q_pagerank's integer recurrence."""
+    scale = 10 ** 12
+    ctes = [f"""
+edges AS (SELECT o_custkey*3 AS src, o_orderkey*3+1 AS dst FROM orders
+          UNION ALL
+          SELECT l_orderkey*3+1, l_partkey*3+2 FROM lineitem),
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM edges
+           UNION ALL SELECT dst FROM edges)),
+nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+deg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY src),
+r0 AS (SELECT node, ({scale} // nn.n)::BIGINT AS r FROM nodes, nn)"""]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes.append(f"""
+d{i} AS (SELECT coalesce(sum(r), 0)::BIGINT AS dang FROM r{p}
+         WHERE node NOT IN (SELECT src FROM deg)),
+c{i} AS (SELECT e.dst AS node, sum(r.r // d.deg)::BIGINT AS s
+         FROM edges e JOIN r{p} r ON e.src = r.node
+         JOIN deg d ON e.src = d.src GROUP BY e.dst),
+r{i} AS (SELECT n2.node,
+           ((15 * {scale}) // (100 * nn.n)
+            + (85 * (coalesce(c.s, 0) + d{i}.dang // nn.n)) // 100)::BIGINT
+             AS r
+         FROM nodes n2 LEFT JOIN c{i} c USING (node), nn, d{i})""")
+    return ("WITH " + ",".join(ctes)
+            + f"\nSELECT node::BIGINT AS node, r AS rank_e12 FROM r{iters}")
+
+
 def q_doc_neighbours(spark, sf_dir):
     """C9: nearest-neighbour docs of doc 0 by token-tf cosine, top 50."""
     from .search.parity import cosine_scores
@@ -1225,6 +1273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "unigram_loglik": q_unigram_loglik,
         "ivf_pq_top10": q_ivf_pq_top10,
+        "pagerank": q_pagerank,
         # -- core operator set (green in round 2; keep evidence fresh)
         "tf_top_terms": q_tf_top_terms,
         "term_df": q_term_df,
@@ -2104,6 +2153,8 @@ SELECT url, ok, n_chars::BIGINT AS n_chars FROM read_parquet('{path}')""".format
         "lsh_pruned_top10": _ann_lsh_oracle(),
 
         "ivf_pq_top10": _ivf_pq_oracle(),
+
+        "pagerank": _pagerank_oracle(),
 
         "phrase_c6_scores": """
 SELECT doc_id, phrase_score_r FROM read_parquet('{path}')""".format(

@@ -199,6 +199,56 @@ def make_shareable_pod(docs_df: DataFrame, keyword: str,
                     .alias("line")))
 
 
+PAGERANK_SCALE = 10 ** 12
+
+
+def pagerank(edges_df: DataFrame, iters: int = 5,
+             damping_pct: int = 85, src: str = "src",
+             dst: str = "dst") -> DataFrame:
+    """Deterministic fixed-point PageRank by power iteration — the
+    link-authority signal of a crawl graph (S5's BFS frontier gives
+    reachability; this ranks it). Returns (node, rank_e12).
+
+    All arithmetic is int64 micro-units (PAGERANK_SCALE = 1e12) with
+    floor division, so the distributed per-node contribution sums are
+    EXACT integers — bit-identical to the unrolled-CTE DuckDB oracle
+    regardless of partitioning (the float formulation would drift in
+    the last ulps per aggregation order). Per iteration: one edges><
+    ranks join + one dst-keyed aggregate; dangling mass is one scalar
+    aggregate redistributed uniformly (standard PageRank treatment).
+    Multigraph semantics: parallel edges each carry weight."""
+    e = edges_df.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct().persist())
+    n = nodes.count()
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    base = (100 - damping_pct) * PAGERANK_SCALE // (100 * n)
+    ranks = nodes.withColumn("r", F.lit(PAGERANK_SCALE // n)).persist()
+    ranks.count()
+    for _ in range(iters):
+        dang_row = (ranks.join(deg, ranks["node"] == deg["src"],
+                               "left_anti").agg(F.sum("r"))).first()[0]
+        dang_share = int(dang_row or 0) // n
+        contrib = (e.join(ranks, e["src"] == ranks["node"])
+                   .join(deg, "src")
+                   .select("dst", F.expr("r div deg").alias("c")))
+        summed = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        # integer floor division: expr-level `div`, not float `/`
+        new_ranks = (nodes.join(summed, nodes["node"] == summed["dst"],
+                                "left")
+                     .select("node", F.expr(
+                         f"{base}L + ({damping_pct}L * (coalesce(s, 0L) + "
+                         f"{dang_share}L)) div 100").alias("r"))
+                     .persist())
+        new_ranks.count()          # materialize before releasing prev
+        ranks.unpersist()
+        ranks = new_ranks
+    out = ranks.select("node", F.col("r").alias("rank_e12"))
+    nodes.unpersist()
+    return out
+
+
 def encode_stego_pod_png(text: str) -> bytes:
     """S17 export side: hide a pod CSV in a PNG using the reference's
     pixel scheme (`/root/reference/app/pod_finder/index_pod_file.py:

@@ -189,3 +189,26 @@ def test_access_check_blocks_disallowed_hosts(spark):
     # unknown host (no robots row) -> blocked
     assert got == ["https://b.example/x", "https://c.example/x",
                    "https://e.example/x"]
+
+
+def test_pagerank_fixed_point_properties(spark):
+    """Deterministic integer PageRank: mass approximately conserved
+    (floor-division leakage only), hubs with more in-links rank
+    higher, dangling mass redistributed (no zero ranks)."""
+    from pears_lite_spark.sources import PAGERANK_SCALE, pagerank
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (4, 3), (5, 3),   # 3 is the hub
+         (1, 2), (3, 6)],                  # 6 only fed by the hub
+        "src long, dst long")
+    out = {r["node"]: r["rank_e12"] for r in pagerank(edges, iters=5).collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+    total = sum(out.values())
+    assert 0.95 * PAGERANK_SCALE <= total <= PAGERANK_SCALE
+    # the hub (3) and its sole successor (6, receiving ALL of the
+    # hub's mass) dominate the leaf nodes
+    assert sorted(out, key=out.get, reverse=True)[:2] == [6, 3]
+    assert out[3] > max(out[v] for v in (1, 2, 4, 5))
+    assert all(v > 0 for v in out.values())     # teleport floor
+    # deterministic: a second run is bit-identical
+    out2 = {r["node"]: r["rank_e12"] for r in pagerank(edges, iters=5).collect()}
+    assert out == out2

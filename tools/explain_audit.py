@@ -156,7 +156,7 @@ def main(sf_dir: str):
 
     # 8. materialized ANN probe: partition pruning on ivf_cell
     from pears_lite_spark.ann import ivf_topk_indexed, write_ann_index
-    ann_path = "/tmp/pears_plan_ann"
+    ann_path = "/tmp/pears_plan_ann2"  # v2: carries pq_codes
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     if not os.path.exists(os.path.join(ann_path, "ann_meta.json")):
         write_ann_index(emb, ann_path)
@@ -187,6 +187,21 @@ def main(sf_dir: str):
           f"min() aggregate expressions)")
     print(f"Exchange nodes: {t.count('Exchange')}")
     print("```\n")
+
+    # 10. IVF-PQ probe: LUT scoring entirely JVM-side (no Python eval)
+    from pears_lite_spark.ann import ivf_pq_topk_indexed
+    t = (ivf_pq_topk_indexed(spark, ann_path, qv, k=10, nprobe=4,
+                             refine=100)
+         ._jdf.queryExecution().executedPlan().toString())
+    pf = _re.search(r"PartitionFilters: \[[^\]]*\]", t)
+    print("## 10. IVF-PQ probe: stored codes, JVM-only LUT scoring\n")
+    print("```")
+    print(pf.group(0) if pf else "(no PartitionFilters found)")
+    n_py = t.count("EvalPython")  # Batch/ArrowEvalPython nodes
+    print(f"Python-eval nodes in the probe plan: {n_py}")
+    print("```")
+    print(f"\nLUT-sum over stored pq_codes runs in column algebra "
+          f"(no Python worker): {'OK' if n_py == 0 else 'NO'}\n")
     spark.stop()
 
 
