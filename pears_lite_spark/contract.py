@@ -1226,6 +1226,17 @@ def q_simhash_near_dups(spark, sf_dir):
     return simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive near-dup clustering: SimHash Hamming<=3 pairs ->
+    min-label connected components -> (doc_id, cluster_id = min doc of
+    the component). Oracle: recursive-CTE reachability over the same
+    pair SQL."""
+    from .dedup import dedup_clusters
+    out = dedup_clusters(_docs(spark, sf_dir), max_hamming=3)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.col("cluster_id").cast("long").alias("cluster_id"))
+
+
 def q_csv_docs(spark, sf_dir):
     """S10: csv rows -> pseudo-documents."""
     from .sources import csv_to_docs
@@ -1274,6 +1285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_loglik": q_unigram_loglik,
         "ivf_pq_top10": q_ivf_pq_top10,
         "pagerank": q_pagerank,
+        "dedup_clusters": q_dedup_clusters,
         # -- core operator set (green in round 2; keep evidence fresh)
         "tf_top_terms": q_tf_top_terms,
         "term_df": q_term_df,
@@ -2107,6 +2119,31 @@ SELECT doc_a, doc_b,
        bit_count(xor(fa.simhash, fb.simhash))::BIGINT AS hamming
 FROM p JOIN f fa ON fa.doc_id = doc_a JOIN f fb ON fb.doc_id = doc_b
 WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3""",
+
+        "dedup_clusters": f"""
+WITH RECURSIVE tok AS ({_TOK_SQL}),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
+h AS (SELECT doc_id, c,
+             ('0x' || substr(md5(term), 1, 8))::BIGINT AS hv FROM tf),
+bits AS (SELECT doc_id, {simhash_sums} FROM h GROUP BY doc_id),
+f AS (SELECT doc_id, ({simhash_bits})::BIGINT AS simhash FROM bits),
+p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM f a JOIN f b ON a.doc_id < b.doc_id AND (
+           ((a.simhash >> 0) & 255) = ((b.simhash >> 0) & 255)
+        OR ((a.simhash >> 8) & 255) = ((b.simhash >> 8) & 255)
+        OR ((a.simhash >> 16) & 255) = ((b.simhash >> 16) & 255)
+        OR ((a.simhash >> 24) & 255) = ((b.simhash >> 24) & 255))),
+np AS (SELECT doc_a, doc_b FROM p
+       JOIN f fa ON fa.doc_id = doc_a JOIN f fb ON fb.doc_id = doc_b
+       WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3),
+und AS (SELECT doc_a AS a, doc_b AS b FROM np
+        UNION ALL SELECT doc_b, doc_a FROM np),
+reach(node, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT u.b, r.root FROM reach r JOIN und u ON u.a = r.node)
+SELECT node::BIGINT AS doc_id, min(root)::BIGINT AS cluster_id
+FROM reach GROUP BY node""",
 
         "url_list_scan": """
 SELECT trim(c0) AS url,

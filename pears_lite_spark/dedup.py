@@ -306,3 +306,59 @@ def embedding_near_dup_pairs(emb_df: DataFrame, threshold: float = 0.95,
             .withColumn("cosine", dot / (na * nb))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
+
+
+def connected_components(pairs_df: DataFrame, nodes_df: DataFrame,
+                         a_col: str = "doc_a", b_col: str = "doc_b",
+                         id_col: str = "doc_id",
+                         max_iters: int = 25) -> DataFrame:
+    """Undirected connected components by min-label propagation: every
+    node's label converges to the smallest node id in its component
+    (exact — `min` is order-free, so the result is independent of
+    partitioning and iteration batching). Iterates until a fixpoint
+    (component diameter bounds the count; `max_iters` is a runaway
+    guard). One edges><labels join + one min-aggregate per iteration —
+    the standard scalable CC shape (label propagation, no driver-side
+    graph)."""
+    # localCheckpoint (not mere persist): an iterative DataFrame's plan
+    # tree otherwise doubles per iteration (labels appears in both the
+    # update and the convergence check) until the analyzer OOMs —
+    # checkpointing truncates lineage to the materialized data, the
+    # standard pattern for iterative Spark algorithms.
+    und = (pairs_df.select(F.col(a_col).alias("src"),
+                           F.col(b_col).alias("dst"))
+           .unionByName(pairs_df.select(F.col(b_col).alias("src"),
+                                        F.col(a_col).alias("dst")))
+           .localCheckpoint())  # ids only; also avoids re-running the
+    #                            (possibly expensive) pair-finding
+    labels = (nodes_df.select(F.col(id_col).alias("node"))
+              .withColumn("label", F.col("node")).localCheckpoint())
+    for _ in range(max_iters):
+        neigh = (und.join(labels, und["src"] == labels["node"])
+                 .groupBy("dst").agg(F.min("label").alias("nl")))
+        new = (labels.join(neigh, labels["node"] == neigh["dst"], "left")
+               .select("node", F.least(
+                   "label", F.coalesce("nl", "label")).alias("label"))
+               .localCheckpoint())
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels.select(F.col("node").alias(id_col),
+                         F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters(docs_df: DataFrame, max_hamming: int = 3,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Transitive near-dup clustering: SimHash Hamming<=k pairs ->
+    connected components -> (doc_id, cluster_id = min doc in cluster).
+    The cluster-then-keep-one step of a C4/RefinedWeb-style dedup
+    pipeline (pairwise drop alone over- or under-deletes on transitive
+    chains A~B~C)."""
+    pairs = simhash_near_dup_pairs(docs_df, max_hamming=max_hamming)
+    return connected_components(pairs, docs_df.select(id_col),
+                                id_col=id_col)

@@ -251,3 +251,17 @@ def test_ivf_topk_recall_and_pruning(spark, emb):
     # deterministic training
     c2 = train_ivf_centroids(emb, n_cells=8)
     assert (cents == c2).all()
+
+
+def test_connected_components_min_label(spark):
+    """CC by min-label propagation: transitive chains collapse to one
+    cluster labeled by the smallest member; isolated nodes are their
+    own cluster."""
+    from pears_lite_spark.dedup import connected_components
+    pairs = spark.createDataFrame(
+        [(2, 5), (5, 9), (11, 12)], "doc_a long, doc_b long")
+    nodes = spark.createDataFrame(
+        [(i,) for i in (2, 5, 9, 11, 12, 40)], "doc_id long")
+    out = {r["doc_id"]: r["cluster_id"] for r in
+           connected_components(pairs, nodes).collect()}
+    assert out == {2: 2, 5: 2, 9: 2, 11: 11, 12: 11, 40: 40}
