@@ -1226,6 +1226,25 @@ def q_simhash_near_dups(spark, sf_dir):
     return simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
+def q_sampled_corpus(spark, sf_dir):
+    """Deterministic hash-threshold corpus sample (rate 0.25, seed 7):
+    stable under re-runs/partitioning, md5-reproducible by the
+    oracle."""
+    from .functions.sampling import deterministic_sample
+    out = deterministic_sample(_docs(spark, sf_dir), rate=0.25, seed=7)
+    return out.select("doc_id", "source", "lang")
+
+
+def q_token_budget(spark, sf_dir):
+    """Per-source token budgeting (600 whitespace tokens per source —
+    binds at sf0.01, cutting roughly half of each source's docs):
+    keep docs starting before the budget line; window cumsum twin in
+    SQL."""
+    from .functions.sampling import token_budget_take
+    out = token_budget_take(_docs(spark, sf_dir), budget=600)
+    return out.select("doc_id", "source", "dl", "cum_tokens")
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Transitive near-dup clustering: SimHash Hamming<=3 pairs ->
     min-label connected components -> (doc_id, cluster_id = min doc of
@@ -1286,6 +1305,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_top10": q_ivf_pq_top10,
         "pagerank": q_pagerank,
         "dedup_clusters": q_dedup_clusters,
+        "sampled_corpus": q_sampled_corpus,
+        "token_budget": q_token_budget,
         # -- core operator set (green in round 2; keep evidence fresh)
         "tf_top_terms": q_tf_top_terms,
         "term_df": q_term_df,
@@ -2192,6 +2213,23 @@ SELECT url, ok, n_chars::BIGINT AS n_chars FROM read_parquet('{path}')""".format
         "ivf_pq_top10": _ivf_pq_oracle(),
 
         "pagerank": _pagerank_oracle(),
+
+        "sampled_corpus": f"""
+SELECT doc_id, source, lang FROM documents
+WHERE ('0x' || substr(md5('7:' || doc_id::VARCHAR), 1, 8))::BIGINT
+      < {int(0.25 * (1 << 32))}""",
+
+        "token_budget": """
+WITH t AS (SELECT doc_id, source,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+               AS dl
+           FROM documents),
+c AS (SELECT doc_id, source, dl,
+        sum(dl) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+      FROM t)
+SELECT doc_id, source, dl, cum_tokens FROM c
+WHERE cum_tokens - dl < 600""",
 
         "phrase_c6_scores": """
 SELECT doc_id, phrase_score_r FROM read_parquet('{path}')""".format(

@@ -265,3 +265,27 @@ def test_connected_components_min_label(spark):
     out = {r["doc_id"]: r["cluster_id"] for r in
            connected_components(pairs, nodes).collect()}
     assert out == {2: 2, 5: 2, 9: 2, 11: 11, 12: 11, 40: 40}
+
+
+def test_deterministic_sample_stable_and_proportional(spark):
+    from pears_lite_spark.functions.sampling import deterministic_sample
+    docs = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"] for r in deterministic_sample(docs, 0.3, seed=1).collect()}
+    b = {r["doc_id"] for r in
+         deterministic_sample(docs.repartition(7), 0.3, seed=1).collect()}
+    assert a == b                      # partitioning-independent
+    assert 0.25 < len(a) / 4000 < 0.35
+    c = {r["doc_id"] for r in deterministic_sample(docs, 0.3, seed=2).collect()}
+    assert c != a                      # seeds give different splits
+    sub = {r["doc_id"] for r in deterministic_sample(docs, 0.1, seed=1).collect()}
+    assert sub <= a                    # lower rate is a subset (nested)
+
+
+def test_token_budget_take_cuts_at_the_line(spark):
+    from pears_lite_spark.functions.sampling import token_budget_take
+    rows = [(i, "s", " ".join(["w"] * 10)) for i in range(10)]  # 10 tokens each
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = sorted(r["doc_id"] for r in
+                 token_budget_take(docs, budget=35).collect())
+    # docs 0..3 START before token 35 (0,10,20,30); doc 4 starts at 40
+    assert out == [0, 1, 2, 3]
