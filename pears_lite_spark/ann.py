@@ -198,7 +198,9 @@ def _with_normalized(df: DataFrame, vec_col: str) -> DataFrame:
     """Adds `_vn` = v/||v|| (float64). Two projections so the norm is
     evaluated once per row, not once per element."""
     v = _as_double(F.col(vec_col))
-    return (df.withColumn("_nrm", _norm(v))
+    nrm = _norm(v)
+    guarded = F.when(nrm == 0.0, F.lit(1.0)).otherwise(nrm)
+    return (df.withColumn("_nrm", guarded)
             .withColumn("_vn", F.transform(v, lambda x: x / F.col("_nrm"))))
 
 
@@ -208,7 +210,9 @@ def pq_codebooks_from_sample(X: np.ndarray, m: int = 16, ks: int = 16,
     """Pure-numpy PQ training core (shared by the Spark trainer and
     the DuckDB oracle generator so both inline IDENTICAL codebooks):
     L2-normalize rows, per-subspace deterministic Lloyd."""
-    Xn = X / np.sqrt((X * X).sum(axis=1, keepdims=True))
+    norms = np.sqrt((X * X).sum(axis=1, keepdims=True))
+    norms[norms == 0.0] = 1.0  # all-zero vectors stay zero, not NaN
+    Xn = X / norms
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -347,8 +351,7 @@ def write_ann_index(emb_df: DataFrame, path: str, n_cells: int = 16,
      .parquet(os.path.join(path, "ivf")))
     lsh = None
     for t in range(n_tables):
-        planes = hyperplanes(_dim_of(emb_df, vec_col), n_planes,
-                             seed=LSH_SEED + t)
+        planes = hyperplanes(dim, n_planes, seed=LSH_SEED + t)
         part = (with_lsh_bucket(base, planes, vec_col)
                 .withColumn("lsh_table", F.lit(t)))
         lsh = part if lsh is None else lsh.unionByName(part)

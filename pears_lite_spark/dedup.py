@@ -333,12 +333,21 @@ def connected_components(pairs_df: DataFrame, nodes_df: DataFrame,
     #                            (possibly expensive) pair-finding
     labels = (nodes_df.select(F.col(id_col).alias("node"))
               .withColumn("label", F.col("node")).localCheckpoint())
+    converged = False
     for _ in range(max_iters):
         neigh = (und.join(labels, und["src"] == labels["node"])
                  .groupBy("dst").agg(F.min("label").alias("nl")))
-        new = (labels.join(neigh, labels["node"] == neigh["dst"], "left")
+        half = (labels.join(neigh, labels["node"] == neigh["dst"], "left")
+                .select("node", F.least(
+                    "label", F.coalesce("nl", "label")).alias("label")))
+        # pointer jumping: also adopt the label OF my label — collapses
+        # an L-hop chain in O(log L) iterations instead of O(L), so
+        # max_iters bounds pathological diameters comfortably
+        lol = half.select(F.col("node").alias("l_node"),
+                          F.col("label").alias("l_label"))
+        new = (half.join(lol, half["label"] == lol["l_node"], "left")
                .select("node", F.least(
-                   "label", F.coalesce("nl", "label")).alias("label"))
+                   "label", F.coalesce("l_label", "label")).alias("label"))
                .localCheckpoint())
         changed = (new.alias("n")
                    .join(labels.alias("o"), "node")
@@ -346,8 +355,15 @@ def connected_components(pairs_df: DataFrame, nodes_df: DataFrame,
         labels.unpersist()
         labels = new
         if changed == 0:
+            converged = True
             break
     und.unpersist()
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            "iterations — raise max_iters (labels would be silently "
+            "wrong if returned)")
     return labels.select(F.col("node").alias(id_col),
                          F.col("label").alias("cluster_id"))
 

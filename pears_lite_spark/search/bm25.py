@@ -413,13 +413,16 @@ class Searcher:
     at cluster scale each executor caches only its own doc ranges
     (MEMORY_AND_DISK), the standard price of a serving replica.
 
-    The flat path scopes session confs around its action and holds an
-    internal lock while doing so, so concurrent callers are safe but
-    serialize (measured 7.3 QPS with 4 threads at sf0.1 — bench.py
-    `bm25_concurrent_qps`, BASELINE.md round 3); for parallel
+    The flat path executes on a DEDICATED cloned session (same
+    SparkContext, shared cache, separate SQLConf with codegen/AQE
+    permanently off) — no session-conf mutation ever, so concurrent
+    batch jobs on the caller's session keep codegen+AQE and concurrent
+    flat callers are safe without any conf race (an internal lock still
+    serializes them for predictable p50 — measured 7-9 QPS with 4
+    threads at sf0.1, bench.py `bm25_concurrent_qps`); for parallel
     throughput use the batch path (one job amortized over the query
-    set) or one SparkSession + flat cache per serving replica.
-    `close()` releases both caches.
+    set) or one Searcher per serving replica. `close()` releases both
+    caches.
     """
 
     def __init__(self, postings: DataFrame, stats: CorpusStats,
@@ -430,10 +433,9 @@ class Searcher:
         import threading
         self.stats = stats
         self.k1, self.b = k1, b
-        # the flat path mutates session confs around its action; the
-        # lock makes the documented one-query-at-a-time contract
-        # crash-proof under concurrent callers (they serialize — for
-        # parallel QPS use batch_topk or one SparkSession per thread)
+        # serializes flat queries for predictable p50 (correctness no
+        # longer needs it — the dedicated serving session removed all
+        # conf mutation; see _build_flat_cache)
         self._flat_lock = threading.Lock()
         # cached-batch granularity of the flat projection: batch min/max
         # term_id stats prune scans, so SMALLER batches prune finer at
@@ -516,8 +518,23 @@ class Searcher:
                     str(self._flat_batch_size)}):
             self.flat = flat.persist()
             self.flat.count()
+        # serve through a DEDICATED cloned session (same SparkContext +
+        # shared cache, separate SQLConf): codegen/AQE are turned off
+        # ONCE there and never touch the caller's session, so batch
+        # jobs planned concurrently with flat queries keep codegen+AQE
+        # (the scoped-conf mutation this replaces leaked to them), and
+        # flat queries no longer need conf-swap serialization at all.
         self._view = f"pears_flat_{id(self)}"
-        self.flat.createOrReplaceTempView(self._view)
+        self.flat.createOrReplaceGlobalTempView(self._view)
+        self._serving = spark.newSession()
+        for key, val in {
+                # embedded query-term literals would trigger a fresh
+                # Janino compile per query (~150-200 ms); interpreted
+                # evaluation over the pruned batches is faster
+                "spark.sql.codegen.wholeStage": "false",
+                "spark.sql.codegen.factoryMode": "NO_CODEGEN",
+                "spark.sql.adaptive.enabled": "false"}.items():
+            self._serving.conf.set(key, val)
 
     def _search_flat(self, terms: list[str], k: int) -> list[tuple[int, float]]:
         """Single-query top-k through the pure-JVM flat path. One
@@ -541,17 +558,15 @@ class Searcher:
         sql = f"""SELECT doc_id, score FROM (
   SELECT doc_range, doc_id,
          sum(impact * CASE term_id {case} END) AS score
-  FROM {self._view} WHERE term_id IN ({tids})
+  FROM global_temp.{self._view} WHERE term_id IN ({tids})
   GROUP BY doc_range, doc_id)
 ORDER BY score DESC, doc_id LIMIT {k}"""
-        with self._flat_lock, _scoped_conf(self.flat.sparkSession, {
-                # embedded query-term literals would trigger a fresh
-                # Janino compile per query (~150-200 ms); interpreted
-                # evaluation over the pruned batches is faster
-                "spark.sql.codegen.wholeStage": "false",
-                "spark.sql.codegen.factoryMode": "NO_CODEGEN",
-                "spark.sql.adaptive.enabled": "false"}):
-            rows = self.flat.sparkSession.sql(sql).collect()
+        # no session-conf mutation (the serving session is permanently
+        # interpreted/non-adaptive), so concurrent callers need no
+        # lock to be CORRECT; the lock still serializes them so p50
+        # under contention stays predictable (drop it for max QPS)
+        with self._flat_lock:
+            rows = self._serving.sql(sql).collect()
         return [(int(r["doc_id"]), float(r["score"])) for r in rows]
 
     # below this many queries, per-query flat-path jobs beat one
@@ -564,8 +579,9 @@ ORDER BY score DESC, doc_id LIMIT {k}"""
         if self.flat is not None:
             spark = self.flat.sparkSession
             self.flat.unpersist()
-            spark.catalog.dropTempView(self._view)
+            spark.catalog.dropGlobalTempView(self._view)
             self.flat = None
+            self._serving = None
 
     def search(self, queries: list[list[str]], k: int = 10) -> list[list[tuple[int, float]]]:
         """Top-k per query: [(doc_id, score) ranked] per input query."""

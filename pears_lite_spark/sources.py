@@ -217,12 +217,17 @@ def pagerank(edges_df: DataFrame, iters: int = 5,
     ranks join + one dst-keyed aggregate; dangling mass is one scalar
     aggregate redistributed uniformly (standard PageRank treatment).
     Multigraph semantics: parallel edges each carry weight."""
-    e = edges_df.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # edges + outdegrees are referenced by two actions per iteration
+    # (dangling scalar, rank materialization) — persist both so an
+    # expensive upstream edges_df plan runs once, not ~2x iters times
+    e = (edges_df.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .persist())
     nodes = (e.select(F.col("src").alias("node"))
              .unionByName(e.select(F.col("dst").alias("node")))
              .distinct().persist())
     n = nodes.count()
-    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    deg = e.groupBy("src").agg(F.count("*").alias("deg")).persist()
+    deg.count()
     base = (100 - damping_pct) * PAGERANK_SCALE // (100 * n)
     ranks = nodes.withColumn("r", F.lit(PAGERANK_SCALE // n)).persist()
     ranks.count()
@@ -246,6 +251,8 @@ def pagerank(edges_df: DataFrame, iters: int = 5,
         ranks = new_ranks
     out = ranks.select("node", F.col("r").alias("rank_e12"))
     nodes.unpersist()
+    deg.unpersist()
+    e.unpersist()
     return out
 
 
@@ -318,12 +325,17 @@ def read_stego_pods(spark: SparkSession, path: str) -> DataFrame:
     f = F.split(F.col("line"), ";")
     return lines.select(
         "src", "line_no",
+        # n_fields surfaces truncated/malformed share lines instead of
+        # letting them slide through as all-NULL records; cc coalesces
+        # to False (a missing field is not an endorsement)
+        F.size(f).alias("n_fields"),
         F.try_element_at(f, F.lit(2)).alias("url"),
         F.try_element_at(f, F.lit(3)).alias("title"),
         F.try_element_at(f, F.lit(4)).alias("snippet"),
         F.try_element_at(f, F.lit(5)).alias("vector"),
         F.try_element_at(f, F.lit(6)).alias("freqs"),
-        (F.try_element_at(f, F.lit(7)) == "True").alias("cc"))
+        F.coalesce(F.try_element_at(f, F.lit(7)) == "True",
+                   F.lit(False)).alias("cc"))
 
 
 def subscribe_pod(docs_df: DataFrame, imported_df: DataFrame) -> DataFrame:

@@ -289,3 +289,17 @@ def test_token_budget_take_cuts_at_the_line(spark):
                  token_budget_take(docs, budget=35).collect())
     # docs 0..3 START before token 35 (0,10,20,30); doc 4 starts at 40
     assert out == [0, 1, 2, 3]
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 40-hop transitive chain must collapse to ONE cluster well
+    inside max_iters (pointer jumping gives O(log L) convergence; the
+    naive propagation needed L iterations and silently returned wrong
+    labels past the cap — review finding r3)."""
+    from pears_lite_spark.dedup import connected_components
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_a long, doc_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(41)], "doc_id long")
+    out = {r["doc_id"]: r["cluster_id"] for r in
+           connected_components(pairs, nodes, max_iters=10).collect()}
+    assert set(out.values()) == {0}

@@ -156,10 +156,11 @@ def main(sf_dir: str):
 
     # 8. materialized ANN probe: partition pruning on ivf_cell
     from pears_lite_spark.ann import ivf_topk_indexed, write_ann_index
-    ann_path = "/tmp/pears_plan_ann2"  # v2: carries pq_codes
+    ann_path = "/tmp/pears_plan_ann2"
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    if not os.path.exists(os.path.join(ann_path, "ann_meta.json")):
-        write_ann_index(emb, ann_path)
+    # always rebuild: a stale cached index (old format / regenerated
+    # testdata) would audit the wrong artifact
+    write_ann_index(emb, ann_path)
     qv = [float(x) for x in
           emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     t = (ivf_topk_indexed(spark, ann_path, qv, k=10, nprobe=4)
