@@ -201,13 +201,16 @@ def cmd_ann_index(args) -> int:
 
 
 def cmd_pipeline(args) -> int:
-    """End-to-end training-data pipeline: corpus -> extract -> quality
-    filter -> exact + MinHash-LSH dedup -> block index. One declarative
+    """End-to-end training-data pipeline: corpus -> extract ->
+    [sample] -> quality filter [-> LM-loglik filter] -> exact +
+    MinHash-LSH dedup [-> span dedup] -> block index. One declarative
     plan per stage; every stage is the same operator the contract
-    checks."""
-    from .dedup import exact_dedup, jaccard_pairs, lsh_candidate_pairs
+    checks; the bracketed stages are opt-in flags."""
+    from .dedup import (exact_dedup, jaccard_pairs, lsh_candidate_pairs,
+                        span_dedup)
     from .functions.extract import extract_df
-    from .functions.textstats import quality_scores
+    from .functions.sampling import deterministic_sample
+    from .functions.textstats import quality_scores, unigram_loglik
     from .index.build import (build_postings, tokenize_spm,
                               tokenize_whitespace, with_doc_id, write_index)
     from pyspark.sql import functions as F
@@ -217,13 +220,22 @@ def cmd_pipeline(args) -> int:
     docs = corpus
     if "html" in corpus.columns:
         docs = extract_df(corpus)
-    docs = with_doc_id(docs).select("doc_id", "url", "text").persist()
+    docs = with_doc_id(docs).select("doc_id", "url", "text")
+    if args.sample_rate < 1.0:
+        docs = deterministic_sample(docs, args.sample_rate,
+                                    seed=args.sample_seed)
+    docs = docs.persist()
     n_raw = docs.count()
-    # quality gate
+    # quality gate(s)
     q = quality_scores(docs)
     kept_ids = q.filter(F.col("quality") >= args.min_quality) \
                 .select("doc_id")
     docs_q = docs.join(kept_ids, "doc_id", "left_semi")
+    if args.min_loglik is not None:
+        ll_ids = (unigram_loglik(docs_q)
+                  .filter(F.col("avg_logprob") >= args.min_loglik)
+                  .select("doc_id"))
+        docs_q = docs_q.join(ll_ids, "doc_id", "left_semi")
     # exact dedup, then near-dup removal (keep lowest doc_id of a pair)
     docs_d = exact_dedup(docs_q)
     cands = lsh_candidate_pairs(docs_d, num_hashes=args.minhash_k,
@@ -231,7 +243,15 @@ def cmd_pipeline(args) -> int:
     near = jaccard_pairs(docs_d, candidates=cands,
                          threshold=args.jaccard_threshold)
     drop = near.select(F.col("doc_b").alias("doc_id")).distinct()
-    clean = docs_d.join(drop, "doc_id", "left_anti").persist()
+    clean = docs_d.join(drop, "doc_id", "left_anti")
+    if args.span_dedup:
+        # cross-doc boilerplate removal; re-key text to the cleaned form
+        clean = (clean.drop("text")
+                 .join(span_dedup(clean, k=args.span_k)
+                       .select("doc_id",
+                               F.col("text_clean").alias("text")),
+                       "doc_id"))
+    clean = clean.persist()
     n_clean = clean.count()
     tokenizer = tokenize_spm if args.tokenizer == "spm" \
         else tokenize_whitespace
@@ -315,6 +335,14 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--minhash-k", type=int, default=16)
     pl.add_argument("--minhash-bands", type=int, default=4)
     pl.add_argument("--n-buckets", type=int, default=64)
+    pl.add_argument("--sample-rate", type=float, default=1.0,
+                    help="deterministic md5 hash-threshold sample")
+    pl.add_argument("--sample-seed", type=int, default=0)
+    pl.add_argument("--min-loglik", type=float, default=None,
+                    help="unigram-LM mean piece log-prob floor")
+    pl.add_argument("--span-dedup", action="store_true",
+                    help="cross-doc duplicate-span removal before indexing")
+    pl.add_argument("--span-k", type=int, default=12)
     pl.set_defaults(fn=cmd_pipeline)
 
     args = p.parse_args(argv)
