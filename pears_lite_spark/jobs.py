@@ -1,4 +1,5 @@
-"""spark-submit entrypoints: build / resume / query / compact.
+"""spark-submit entrypoints: build / resume / query / compact /
+pipeline / ann-index.
 
 The north rule requires the pipeline to run "via spark-submit
 --py-files on multi-executor clusters". This module is that surface:
