@@ -243,13 +243,19 @@ def with_pq_codes(emb_df: DataFrame, books: np.ndarray,
     column algebra, identical expression order to the DuckDB oracle."""
     m, ks, dsub = books.shape
     df = _with_normalized(emb_df, vec_col)
+    # materialize each subspace slice as a column FIRST: embedding the
+    # slice expression into all ks dist expressions would blow the plan
+    # tree up ks-fold (measured ~2x faster analysis/codegen at m=16,
+    # ks=16; float semantics identical — same ops, evaluated once)
+    for j in range(m):
+        df = df.withColumn(f"_s{j}", F.slice(F.col("_vn"),
+                                             j * dsub + 1, dsub))
     codes = []
     for j in range(m):
-        sub = F.slice(F.col("_vn"), j * dsub + 1, dsub)
-        d = _cell_dists(sub, books[j])
+        d = _cell_dists(F.col(f"_s{j}"), books[j])
         codes.append(F.array_position(d, F.array_min(d)).cast("int") - 1)
     return (df.withColumn("pq_codes", F.array(*codes))
-            .drop("_nrm", "_vn"))
+            .drop("_nrm", "_vn", *[f"_s{j}" for j in range(m)]))
 
 
 def _pq_lut(query_vec: list[float], books: np.ndarray) -> np.ndarray:
