@@ -373,3 +373,25 @@ def test_stream_dedup_first_arrival_wins(spark, tmp_path):
     batch_ids = {int(r["doc_id"])
                  for r in exact_dedup(union).select("doc_id").collect()}
     assert got == batch_ids
+
+
+def test_build_output_independent_of_input_partitioning(spark, tokens):
+    """SURVEY §5.7: the same corpus built under different parallelism /
+    input partitioning must produce IDENTICAL index bytes (the encode
+    is deterministic per (term_id, doc_range), never order-dependent) —
+    the single-box stand-in for 'same output at N and 4N executors'."""
+    cols = ["term_id", "doc_range", "block_id", "first_doc", "last_doc",
+            "n", "docs", "tfs", "dls"]
+
+    def blocks(n_parts):
+        p, _ = build_postings(tokens.repartition(n_parts))
+        df = (p.select(*cols).toPandas()
+              .sort_values(["term_id", "doc_range", "block_id"])
+              .reset_index(drop=True))
+        df["docs"] = df["docs"].map(bytes)
+        df["tfs"] = df["tfs"].map(bytes)
+        df["dls"] = df["dls"].map(bytes)
+        return df
+
+    a, b = blocks(3), blocks(11)
+    assert a.equals(b)
