@@ -77,12 +77,18 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    json_out = None
+    for a in sys.argv[1:]:
+        if a.startswith("--json="):
+            json_out = a.split("=", 1)[1]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     # oracles that embed data-derived literals (IVF centroids) must be
     # generated against the SAME scale the queries run at
     import os
     os.environ["PEARS_ORACLE_SF_DIR"] = sf_dir
+    results: dict = {}
     import __spark_entry__ as entrymod
     from pears_lite_spark.session import get_spark
     spark = get_spark(master="local[8]")
@@ -99,19 +105,33 @@ def main():
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": None,
+                             "oracle_rows": None, "err": str(e)[:300]}
             fails += 1
             continue
         if name not in oracles:
             print(f"rows-only {name}: {len(sdf)} rows "
                   f"({time.time()-t0:.1f}s)")
+            results[name] = {"rows_only": True, "spark_rows": len(sdf),
+                             "err": None}
             continue
         try:
             odf = con.execute(oracles[name]).fetch_df()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": len(sdf),
+                             "oracle_rows": None,
+                             "err": f"oracle: {str(e)[:300]}"}
             fails += 1
             continue
         problems = compare(name, sdf, odf)
+        results[name] = {
+            "rows_match": len(sdf) == len(odf),
+            "schema_match": sorted(sdf.columns) == sorted(odf.columns),
+            "hash_match": not problems,
+            "spark_rows": len(sdf), "oracle_rows": len(odf), "err": None}
         if problems:
             fails += 1
             print(f"FAIL {name} ({len(sdf)} rows):")
@@ -124,6 +144,11 @@ def main():
         edf = entrymod.entry(spark).toPandas()
         print(f"entry: {len(edf)} rows, schema {list(edf.columns)}")
     print("FAILURES:", fails)
+    if json_out:
+        import json
+        with open(json_out, "w") as fh:
+            json.dump(results, fh, indent=2)
+        print(f"wrote {json_out}")
     spark.stop()
     sys.exit(1 if fails else 0)
 
