@@ -1251,6 +1251,18 @@ def q_token_budget(spark, sf_dir):
     return out.select("doc_id", "source", "dl", "cum_tokens")
 
 
+def q_min_window(spark, sf_dir):
+    """Minimum proximity window over the AND-query terms: per doc
+    containing all of them, the smallest token span covering every
+    term. Spark side = grouped two-pointer sweep (O(occ) per doc);
+    oracle = O(occ^3) pair-join SQL — two different algorithms, one
+    answer."""
+    from .search.parity import min_window_spans
+    out = min_window_spans(_tokens(spark, sf_dir), AND_QUERY)
+    return out.select("doc_id",
+                      F.col("min_window").cast("long").alias("min_window"))
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Transitive near-dup clustering: SimHash Hamming<=3 pairs ->
     min-label connected components -> (doc_id, cluster_id = min doc of
@@ -1313,9 +1325,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "sampled_corpus": q_sampled_corpus,
         "token_budget": q_token_budget,
+        "min_window": q_min_window,
         # -- core operator set (green in round 2; entries through
-        #    events_sessions sit inside the driver's 50-query window
-        #    this round — 23 head entries above + 27 of these = 50)
+        #    events_hourly sit inside the driver's 50-query window
+        #    this round — 24 head entries above + 26 of these = 50)
         "tf_top_terms": q_tf_top_terms,
         "term_df": q_term_df,
         "corpus_stats": q_corpus_stats,
@@ -1342,10 +1355,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "pod_top_terms": q_pod_top_terms,
         "events_hourly": q_events_hourly,
-        "events_sessions": q_events_sessions,
         # ---- driver window boundary (position 50) ----
         # everything below was hash-green in CORRECTNESS_r02 (and r01);
         # parked per the rotation policy in COVERAGE.md
+        "events_sessions": q_events_sessions,
         "bfs_reach": q_bfs_reach,
         "doc_neighbours": q_doc_neighbours,
         "pod_rank": q_pod_rank,
@@ -2230,6 +2243,28 @@ SELECT url, ok, n_chars::BIGINT AS n_chars FROM read_parquet('{path}')""".format
 SELECT doc_id, source, lang FROM documents
 WHERE ('0x' || substr(md5('7:' || doc_id::VARCHAR), 1, 8))::BIGINT
       < {int(0.25 * (1 << 32))}""",
+
+        "min_window": f"""
+WITH occ AS (
+  SELECT doc_id, term, ord AS pos FROM (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS term,
+           generate_subscripts(string_split(text, ' '), 1) AS ord
+    FROM documents WHERE text IS NOT NULL)
+  WHERE term IN ({_in_list(AND_QUERY)})),
+full_docs AS (SELECT doc_id FROM occ
+              GROUP BY doc_id
+              HAVING count(DISTINCT term) = {len(set(AND_QUERY))}),
+p AS (SELECT a.doc_id, a.pos AS s, b.pos AS e
+      FROM occ a JOIN occ b
+        ON a.doc_id = b.doc_id AND b.pos >= a.pos
+      WHERE a.doc_id IN (SELECT doc_id FROM full_docs)),
+cov AS (SELECT p.doc_id, p.s, p.e, count(DISTINCT o.term) AS nt
+        FROM p JOIN occ o
+          ON o.doc_id = p.doc_id AND o.pos BETWEEN p.s AND p.e
+        GROUP BY 1, 2, 3)
+SELECT doc_id, min(e - s + 1)::BIGINT AS min_window
+FROM cov WHERE nt = {len(set(AND_QUERY))} GROUP BY doc_id""",
 
         "token_budget": """
 WITH t AS (SELECT doc_id, source,

@@ -289,3 +289,51 @@ def best_urls(scored_df: DataFrame, limit: int = 50) -> DataFrame:
     """Top-50 with score > 0 (`score_pages.py:117-135`)."""
     return (scored_df.filter(F.col("score") > 0)
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(limit))
+
+
+def min_window_spans(tokens_df: DataFrame,
+                     query_terms: list[str]) -> DataFrame:
+    """Minimum proximity window (Clarke et al.'s cover semantics): per
+    doc containing ALL query terms, the length of the smallest token
+    span covering every distinct term. The classic proximity ranking
+    feature the reference's adjacency score (C6) is a special case of.
+
+    Shape: filter-early posexplode (only query-term occurrences
+    shuffle), then a per-doc grouped two-pointer sweep in an Arrow
+    batch (O(occurrences) per doc — the driver's oracle instead uses an
+    O(occ^3) pair-join SQL formulation, a structurally different
+    algorithm arriving at the same answer)."""
+    import pandas as pd
+    need = sorted(set(query_terms))
+    n_need = len(need)
+    occ = (tokens_df.select("doc_id",
+                            F.posexplode("tokens").alias("pos", "term"))
+           .filter(F.col("term").isin(need)))
+
+    def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("pos")
+        terms = pdf["term"].to_numpy()
+        pos = pdf["pos"].to_numpy()
+        if len(set(terms)) < n_need:
+            return pd.DataFrame({"doc_id": [], "min_window": []})
+        best = None
+        counts: dict = {}
+        covered = 0
+        lo = 0
+        for hi in range(len(terms)):
+            counts[terms[hi]] = counts.get(terms[hi], 0) + 1
+            if counts[terms[hi]] == 1:
+                covered += 1
+            while covered == n_need:
+                w = int(pos[hi] - pos[lo] + 1)
+                if best is None or w < best:
+                    best = w
+                counts[terms[lo]] -= 1
+                if counts[terms[lo]] == 0:
+                    covered -= 1
+                lo += 1
+        return pd.DataFrame({"doc_id": [int(pdf["doc_id"].iloc[0])],
+                             "min_window": [best]})
+
+    return (occ.groupBy("doc_id")
+            .applyInPandas(sweep, "doc_id long, min_window int"))

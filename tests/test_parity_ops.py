@@ -151,3 +151,18 @@ def test_embedding_near_dup_exact_superset_of_lsh(spark):
     assert lsh <= exact          # LSH never invents pairs
     assert len(exact) == 45      # C(10,2) near-dup cluster
     assert len(lsh) == 45        # sign-buckets agree for near-identical vecs
+
+
+def test_min_window_spans_hand_cases(spark):
+    """Two-pointer cover sweep: exact smallest span, docs missing a
+    term excluded, overlapping occurrences handled."""
+    from pears_lite_spark.search.parity import min_window_spans
+    docs = spark.createDataFrame(
+        [(1, "a x x b x c a b c x".split(" ")),       # abc at 6,7,8 -> 3
+         (2, "a x b x x c".split(" ")),               # 0..5 -> 6
+         (3, "a b x x x x".split(" ")),               # missing c
+         (4, "c b a".split(" "))],                    # 0..2 -> 3
+        "doc_id long, tokens array<string>")
+    out = {r["doc_id"]: r["min_window"] for r in
+           min_window_spans(docs, ["a", "b", "c"]).collect()}
+    assert out == {1: 3, 2: 6, 4: 3}
