@@ -15,11 +15,18 @@ Scope (documented, asserted):
 - BMP: 24-bit uncompressed (BI_RGB), bottom-up rows.
 - WAV: 16-bit PCM via the stdlib `wave` module.
 
-The per-pixel Python loops in the Sub/Average/Paeth unfilters are fine
-for the small images these tests ship; a production cluster would swap
-an optimized library into the same DECODERS slot — the Spark-side
-plumbing (schemas, Arrow batching, partitioning) is identical either
-way, which is the part this repo owns.
+Unfilter performance (round-4): the Sub unfilter is an exact per-channel
+prefix sum mod 256 (mod distributes over addition), so it runs as one
+numpy cumsum per row; Up was always a vector add. Average and Paeth are
+genuinely sequential recurrences (each byte reads the just-decoded left
+neighbour through a floor/branch, so no closed cumulative form exists);
+they run as Python-int list loops — several times faster than numpy
+scalar indexing — and `decode_png` rejects images above `max_pixels`
+(default 16 MP) with the usual honest NotImplementedError so a hostile
+or merely huge image cannot stall an executor. A production cluster
+would still swap an optimized library into the same DECODERS slot; the
+Spark-side plumbing (schemas, Arrow batching, partitioning) is
+identical either way, which is the part this repo owns.
 """
 
 from __future__ import annotations
@@ -69,15 +76,20 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
             left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
             filt = (cur - ((left + prev) >> 1)) & 0xFF
         elif filter_type == 4:
-            filt = np.empty(stride, dtype=np.int32)
+            # Python-int list loop (same rationale as the decode side:
+            # the Paeth branch defeats vectorization, and list indexing
+            # is several times faster than numpy scalar indexing).
+            cl, pv = cur.tolist(), prev.tolist()
+            fl = [0] * stride
             for x in range(stride):
-                a_ = int(cur[x - bpp]) if x >= bpp else 0
-                b_ = int(prev[x])
-                c_ = int(prev[x - bpp]) if x >= bpp else 0
+                a_ = cl[x - bpp] if x >= bpp else 0
+                b_ = pv[x]
+                c_ = pv[x - bpp] if x >= bpp else 0
                 p = a_ + b_ - c_
                 pa, pb, pc = abs(p - a_), abs(p - b_), abs(p - c_)
                 pred = a_ if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c_)
-                filt[x] = (int(cur[x]) - pred) & 0xFF
+                fl[x] = (cl[x] - pred) & 0xFF
+            filt = np.asarray(fl, dtype=np.int32)
         else:
             raise ValueError(f"bad filter type {filter_type}")
         out.append(filter_type)
@@ -89,9 +101,11 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
             + _chunk(b"IEND", b""))
 
 
-def decode_png(data: bytes) -> np.ndarray:
+def decode_png(data: bytes, max_pixels: int = 16_000_000) -> np.ndarray:
     """Decode PNG bytes -> (h, w) uint8 for grayscale or (h, w, c) for
-    multi-channel. 8-bit, non-interlaced only (asserted)."""
+    multi-channel. 8-bit, non-interlaced only (asserted); images above
+    `max_pixels` are rejected before any scanline work so one huge
+    input cannot stall an executor task."""
     if data[:8] != PNG_SIG:
         raise ValueError("not a PNG")
     pos = 8
@@ -116,6 +130,9 @@ def decode_png(data: bytes) -> np.ndarray:
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
+    if width * height > max_pixels:
+        raise NotImplementedError(
+            f"PNG too large ({width}x{height} > max_pixels={max_pixels})")
     c = _CHANNELS[color]
     bpp = c
     stride = width * c
@@ -123,38 +140,57 @@ def decode_png(data: bytes) -> np.ndarray:
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG scanline data size mismatch")
     out = np.empty((height, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int64)
+    prev_list: list | None = None  # lazy python-int twin of `prev`
     for y in range(height):
         off = y * (stride + 1)
         ft = raw[off]
-        line = np.frombuffer(raw, np.uint8, stride, off + 1).astype(np.int32)
+        line = np.frombuffer(raw, np.uint8, stride, off + 1)
         if ft == 0:
-            cur = line
+            cur = line.astype(np.int64)
         elif ft == 1:
-            cur = line.copy()
-            for x in range(bpp, stride):
-                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+            # Sub unfilter == per-channel prefix sum mod 256 (mod
+            # distributes over +), so one vectorized cumsum per row.
+            cur = (line.reshape(width, bpp)
+                   .cumsum(axis=0, dtype=np.int64) & 0xFF).reshape(-1)
         elif ft == 2:
-            cur = (line + prev) & 0xFF
+            cur = (line.astype(np.int64) + prev) & 0xFF
         elif ft == 3:
-            cur = line.copy()
+            # Sequential recurrence (floor-average of just-decoded left
+            # + up): python-int list loop beats numpy scalar indexing.
+            ln = line.tolist()
+            pv = prev_list if prev_list is not None else prev.tolist()
+            cl = [0] * stride
             for x in range(stride):
-                a_ = int(cur[x - bpp]) if x >= bpp else 0
-                cur[x] = (int(line[x]) + ((a_ + int(prev[x])) >> 1)) & 0xFF
+                a_ = cl[x - bpp] if x >= bpp else 0
+                cl[x] = (ln[x] + ((a_ + pv[x]) >> 1)) & 0xFF
+            cur = np.asarray(cl, dtype=np.int64)
+            prev_list = cl
+            out[y] = cur.astype(np.uint8)
+            prev = cur
+            continue
         elif ft == 4:
-            cur = line.copy()
+            ln = line.tolist()
+            pv = prev_list if prev_list is not None else prev.tolist()
+            cl = [0] * stride
             for x in range(stride):
-                a_ = int(cur[x - bpp]) if x >= bpp else 0
-                b_ = int(prev[x])
-                c_ = int(prev[x - bpp]) if x >= bpp else 0
+                a_ = cl[x - bpp] if x >= bpp else 0
+                b_ = pv[x]
+                c_ = pv[x - bpp] if x >= bpp else 0
                 p = a_ + b_ - c_
                 pa, pb, pc = abs(p - a_), abs(p - b_), abs(p - c_)
                 pred = a_ if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c_)
-                cur[x] = (int(line[x]) + pred) & 0xFF
+                cl[x] = (ln[x] + pred) & 0xFF
+            cur = np.asarray(cl, dtype=np.int64)
+            prev_list = cl
+            out[y] = cur.astype(np.uint8)
+            prev = cur
+            continue
         else:
             raise ValueError(f"bad PNG filter byte {ft}")
         out[y] = cur.astype(np.uint8)
         prev = cur
+        prev_list = None
     img = out.reshape(height, width, c)
     return img[:, :, 0] if c == 1 else img
 

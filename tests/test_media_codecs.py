@@ -137,3 +137,13 @@ def test_strict_resize_real(spark):
         assert out[i] == want
         n += 1
     assert n > 0 and len(out) == n
+
+
+def test_png_decode_rejects_oversized_images():
+    import numpy as np
+    import pytest
+    img = np.zeros((40, 40, 3), dtype=np.uint8)
+    png = C.encode_png(img, filter_type=1)
+    with pytest.raises(NotImplementedError, match="max_pixels"):
+        C.decode_png(png, max_pixels=1599)
+    assert C.decode_png(png, max_pixels=1600).shape == (40, 40, 3)
