@@ -308,10 +308,63 @@ def embedding_near_dup_pairs(emb_df: DataFrame, threshold: float = 0.95,
             .select("id_a", "id_b", "cosine"))
 
 
+def prepare_salted_edges(edges_df: DataFrame, num_salts: int,
+                         hot_threshold: int, key_col: str = "src",
+                         spread_col: str = "dst"):
+    """Hot-key guard shared by the iterative graph ops (CC, PageRank):
+    a celebrity node — one URL linked by a visible fraction of the
+    crawl — puts its whole adjacency into ONE task of the per-iteration
+    `key_col`-keyed edges><labels join. Detect keys with degree >=
+    `hot_threshold` ONCE (degrees are static across iterations), give
+    their edge rows a deterministic salt in [0, num_salts) hashed from
+    `spread_col`, and salt 0 everywhere else. Returns
+    (edges + `_salt` column, hot-keys DataFrame, n_hot). The label side
+    replicates its (single) row per hot key across all salts via
+    `replicate_salted` each iteration, so the join splits a hot key's
+    rows num_salts ways; results are unchanged because the downstream
+    aggregates (min / sum) are order-free."""
+    deg = edges_df.groupBy(key_col).agg(F.count("*").alias("_deg"))
+    hot = (deg.filter(F.col("_deg") >= hot_threshold)
+           .select(F.col(key_col).alias("_hot_key")))
+    n_hot = hot.count()
+    if n_hot == 0:
+        return edges_df.withColumn("_salt", F.lit(0)), hot, 0
+    salted = (edges_df
+              .join(F.broadcast(hot),
+                    edges_df[key_col] == hot["_hot_key"], "left")
+              .withColumn("_salt", F.when(
+                  F.col("_hot_key").isNotNull(),
+                  F.pmod(F.xxhash64(spread_col),
+                         F.lit(num_salts)).cast("int")).otherwise(0))
+              .drop("_hot_key"))
+    return salted, hot, n_hot
+
+
+def replicate_salted(one_per_key_df: DataFrame, key_col: str,
+                     hot: DataFrame, n_hot: int,
+                     num_salts: int) -> DataFrame:
+    """Other half of the hot-key guard: replicate the (unique-per-key)
+    rows of hot keys across every salt so each salted edge partition
+    finds its match; cold keys ride on salt 0."""
+    if n_hot == 0:
+        return one_per_key_df.withColumn("_salt", F.lit(0))
+    is_hot = one_per_key_df[key_col] == hot["_hot_key"]
+    hot_rows = (one_per_key_df.join(F.broadcast(hot), is_hot)
+                .drop("_hot_key")
+                .withColumn("_salt", F.explode(F.array(
+                    *[F.lit(i) for i in range(num_salts)]))))
+    cold_rows = (one_per_key_df.join(F.broadcast(hot), is_hot,
+                                     "left_anti")
+                 .withColumn("_salt", F.lit(0)))
+    return cold_rows.unionByName(hot_rows)
+
+
 def connected_components(pairs_df: DataFrame, nodes_df: DataFrame,
                          a_col: str = "doc_a", b_col: str = "doc_b",
                          id_col: str = "doc_id",
-                         max_iters: int = 25) -> DataFrame:
+                         max_iters: int = 25,
+                         num_salts: int = 8,
+                         hot_threshold: int = 1_000_000) -> DataFrame:
     """Undirected connected components by min-label propagation: every
     node's label converges to the smallest node id in its component
     (exact — `min` is order-free, so the result is independent of
@@ -331,11 +384,21 @@ def connected_components(pairs_df: DataFrame, nodes_df: DataFrame,
                                         F.col(a_col).alias("dst")))
            .localCheckpoint())  # ids only; also avoids re-running the
     #                            (possibly expensive) pair-finding
+    # hot-key guard (see prepare_salted_edges): degrees are static, so
+    # salt once up front; per-iteration label rows of hot nodes are
+    # replicated across the salts.
+    und_s, hot, n_hot = prepare_salted_edges(
+        und, num_salts, hot_threshold)
+    if n_hot > 0:
+        und_s = und_s.localCheckpoint()
     labels = (nodes_df.select(F.col(id_col).alias("node"))
               .withColumn("label", F.col("node")).localCheckpoint())
     converged = False
     for _ in range(max_iters):
-        neigh = (und.join(labels, und["src"] == labels["node"])
+        lab_s = replicate_salted(labels, "node", hot, n_hot, num_salts)
+        neigh = (und_s.join(lab_s,
+                            (und_s["src"] == lab_s["node"])
+                            & (und_s["_salt"] == lab_s["_salt"]))
                  .groupBy("dst").agg(F.min("label").alias("nl")))
         half = (labels.join(neigh, labels["node"] == neigh["dst"], "left")
                 .select("node", F.least(
@@ -358,6 +421,8 @@ def connected_components(pairs_df: DataFrame, nodes_df: DataFrame,
             converged = True
             break
     und.unpersist()
+    if n_hot > 0:
+        und_s.unpersist()
     if not converged:
         labels.unpersist()
         raise RuntimeError(

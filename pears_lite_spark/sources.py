@@ -204,7 +204,8 @@ PAGERANK_SCALE = 10 ** 12
 
 def pagerank(edges_df: DataFrame, iters: int = 5,
              damping_pct: int = 85, src: str = "src",
-             dst: str = "dst") -> DataFrame:
+             dst: str = "dst", num_salts: int = 8,
+             hot_threshold: int = 1_000_000) -> DataFrame:
     """Deterministic fixed-point PageRank by power iteration — the
     link-authority signal of a crawl graph (S5's BFS frontier gives
     reachability; this ranks it). Returns (node, rank_e12).
@@ -216,7 +217,16 @@ def pagerank(edges_df: DataFrame, iters: int = 5,
     the last ulps per aggregation order). Per iteration: one edges><
     ranks join + one dst-keyed aggregate; dangling mass is one scalar
     aggregate redistributed uniformly (standard PageRank treatment).
-    Multigraph semantics: parallel edges each carry weight."""
+    Multigraph semantics: parallel edges each carry weight.
+
+    Hot-key guard: a hub page with >= `hot_threshold` outlinks would
+    put its whole adjacency through one task of the per-iteration
+    edges><ranks join; `dedup.prepare_salted_edges` salts such rows
+    (degrees are static, so outdegree is also folded into the salted
+    edges once, removing the second per-iteration src join) and hot
+    rank rows replicate across the salts — exact, since the int64
+    contribution sums are order-free."""
+    from .dedup import prepare_salted_edges, replicate_salted
     # edges + outdegrees are referenced by two actions per iteration
     # (dangling scalar, rank materialization) — persist both so an
     # expensive upstream edges_df plan runs once, not ~2x iters times
@@ -228,6 +238,10 @@ def pagerank(edges_df: DataFrame, iters: int = 5,
     n = nodes.count()
     deg = e.groupBy("src").agg(F.count("*").alias("deg")).persist()
     deg.count()
+    e_s, hot, n_hot = prepare_salted_edges(e, num_salts, hot_threshold)
+    deg_s = replicate_salted(deg, "src", hot, n_hot, num_salts)
+    e_w = e_s.join(deg_s, ["src", "_salt"]).persist()
+    e_w.count()
     base = (100 - damping_pct) * PAGERANK_SCALE // (100 * n)
     ranks = nodes.withColumn("r", F.lit(PAGERANK_SCALE // n)).persist()
     ranks.count()
@@ -235,8 +249,10 @@ def pagerank(edges_df: DataFrame, iters: int = 5,
         dang_row = (ranks.join(deg, ranks["node"] == deg["src"],
                                "left_anti").agg(F.sum("r"))).first()[0]
         dang_share = int(dang_row or 0) // n
-        contrib = (e.join(ranks, e["src"] == ranks["node"])
-                   .join(deg, "src")
+        ranks_s = replicate_salted(ranks, "node", hot, n_hot, num_salts)
+        contrib = (e_w.join(ranks_s,
+                            (e_w["src"] == ranks_s["node"])
+                            & (e_w["_salt"] == ranks_s["_salt"]))
                    .select("dst", F.expr("r div deg").alias("c")))
         summed = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
         # integer floor division: expr-level `div`, not float `/`
@@ -252,6 +268,7 @@ def pagerank(edges_df: DataFrame, iters: int = 5,
     out = ranks.select("node", F.col("r").alias("rank_e12"))
     nodes.unpersist()
     deg.unpersist()
+    e_w.unpersist()
     e.unpersist()
     return out
 

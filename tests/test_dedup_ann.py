@@ -345,3 +345,43 @@ def test_connected_components_long_chain_converges(spark):
     out = {r["doc_id"]: r["cluster_id"] for r in
            connected_components(pairs, nodes, max_iters=10).collect()}
     assert set(out.values()) == {0}
+
+
+def test_hot_key_salting_star_graph(spark):
+    """VERDICT r03 item 4: a celebrity node (star of ~100k edges into
+    one hub) must not funnel its whole adjacency through one join
+    task. prepare_salted_edges spreads the hub's rows across all
+    salts, and CC/PageRank results are bit-identical to the unsalted
+    path (min/sum are order-free)."""
+    from pears_lite_spark import dedup
+    from pears_lite_spark.sources import pagerank
+
+    n = 100_000
+    pairs = (spark.range(1, n + 1)
+             .selectExpr("0L as doc_a", "id as doc_b"))
+    und = (pairs.selectExpr("doc_a as src", "doc_b as dst")
+           .unionByName(pairs.selectExpr("doc_b as src", "doc_a as dst")))
+
+    salted, hot, n_hot = dedup.prepare_salted_edges(
+        und, num_salts=8, hot_threshold=1_000)
+    assert n_hot == 1  # only the hub is hot
+    hub_salts = (salted.filter("src = 0")
+                 .select("_salt").distinct().count())
+    assert hub_salts == 8          # hub adjacency splits 8 ways
+    cold_salts = (salted.filter("src <> 0")
+                  .select("_salt").distinct().collect())
+    assert [r["_salt"] for r in cold_salts] == [0]
+
+    nodes = (und.select(F.col("src").alias("doc_id")).distinct())
+    out = {r["doc_id"]: r["cluster_id"] for r in
+           dedup.connected_components(
+               pairs, nodes, hot_threshold=1_000).collect()}
+    assert len(out) == n + 1 and set(out.values()) == {0}
+
+    # PageRank: salted vs unsalted must agree to the exact integer.
+    edges = pairs.selectExpr("doc_b as src", "doc_a as dst")
+    a = {r["node"]: r["rank_e12"] for r in
+         pagerank(edges, iters=3, hot_threshold=10**9).collect()}
+    b = {r["node"]: r["rank_e12"] for r in
+         pagerank(edges, iters=3, hot_threshold=1_000).collect()}
+    assert a == b
