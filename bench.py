@@ -140,6 +140,80 @@ def hardware_ceiling(low: int, high: int) -> float:
     return max(1e-9, min(1.0, lo / hi))
 
 
+def synth_docs(spark, n: int):
+    """Deterministic ~24-token synthetic docs, pure column algebra (no
+    Python in the generator): ids with id%100 in {0,1} form identical-
+    text pairs (planted near-dups for the dedup probes)."""
+    return spark.range(n).selectExpr(
+        "id as doc_id",
+        "array_join(transform(sequence(0, 23), i -> concat('w', "
+        " pmod((CASE WHEN id % 100 < 2 THEN id - (id % 100) ELSE id END)"
+        "      * 1099511628211 + i * 2654435761, 999983))), ' ') as text")
+
+
+def synth_embeddings(spark, n: int, dim: int = 64):
+    """Deterministic pseudo-random float vectors via sin() column
+    algebra — spread enough for k-means/PQ training, zero Python."""
+    return spark.range(n).selectExpr(
+        "id as vec_id",
+        f"transform(sequence(0, {dim - 1}), "
+        " i -> sin(id * 0.7 + i * 1.3) + 0.1 * sin(id * 3.1 + i * 0.37))"
+        " as embedding")
+
+
+def run_scale_probes(cpus: int) -> dict:
+    """Wall-times for span_dedup / dedup_clusters / IVF-PQ at 1x and
+    10x synthetic scale. dedup_clusters runs max_hamming=1 (16-bit band
+    keys): the right band width at >=1M docs — 8-bit keys (k=3)
+    degenerate toward all-pairs there (see dedup.dedup_clusters)."""
+    from pears_lite_spark.ann import ivf_pq_topk_indexed, write_ann_index
+    from pears_lite_spark.dedup import dedup_clusters, span_dedup
+    probes: dict = {}
+    spark = make_session(cpus)
+    try:
+        # warm-up at tiny scale: whole-stage codegen compiles and
+        # Python-worker startup otherwise land in the 1x leg and make
+        # the 10x ratio look sub-unity
+        warm = synth_docs(spark, 2000)
+        span_dedup(warm, k=12).count()
+        dedup_clusters(warm, max_hamming=1).count()
+        write_ann_index(synth_embeddings(spark, 2000),
+                        "/tmp/pears_bench_ann_warm", n_cells=64)
+        for n in (100_000, 1_000_000):
+            docs = synth_docs(spark, n)
+            docs.count()  # materialize the generator outside the timing
+            t0 = time.time()
+            span_dedup(docs, k=12).count()
+            probes[f"span_dedup_{n}"] = round(time.time() - t0, 2)
+            stats: dict = {}
+            t0 = time.time()
+            n_clustered = dedup_clusters(docs, max_hamming=1,
+                                         stats_out=stats).count()
+            probes[f"dedup_clusters_{n}"] = round(time.time() - t0, 2)
+            probes[f"dedup_clusters_{n}_iters"] = stats.get("cc_iters")
+            assert n_clustered == n
+        for nv in (10_000, 100_000):
+            emb = synth_embeddings(spark, nv)
+            qvecs = [r["embedding"] for r in emb.limit(5).collect()]
+            idx_path = f"/tmp/pears_bench_ann_{nv}"
+            t0 = time.time()
+            write_ann_index(emb, idx_path, n_cells=64)
+            probes[f"ivf_pq_build_{nv}"] = round(time.time() - t0, 2)
+            t0 = time.time()
+            for q in qvecs:
+                ivf_pq_topk_indexed(spark, idx_path,
+                                    [float(x) for x in q], k=10).collect()
+            probes[f"ivf_pq_probe5_{nv}"] = round(time.time() - t0, 2)
+        for op in ("span_dedup", "dedup_clusters"):
+            probes[f"{op}_10x_ratio"] = round(
+                probes[f"{op}_1000000"] / probes[f"{op}_100000"], 2)
+        probes["ivf_pq_build_10x_ratio"] = round(
+            probes["ivf_pq_build_100000"] / probes["ivf_pq_build_10000"], 2)
+    finally:
+        spark.stop()
+    return probes
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -236,34 +310,41 @@ def main():
         queries_sec["bm25_single_p50"] = round(p50_s, 4)
         log(f"p50 single-query latency: {p50:.0f} ms")
 
-        # concurrent serving: 4 threads hammering the flat path (the
-        # Searcher lock serializes the spark.sql action but overlaps
-        # py4j/setup work) — the documented single-handle QPS figure
+        # concurrent serving curve: 1/2/4/8/16 threads hammering the
+        # lock-free flat path (cloned-session design, bm25.py) — the
+        # knee of this curve is the per-replica sizing datapoint for
+        # the multi-replica serving story (BASELINE.md)
         import threading
-        conc_q = [qpieces[i % len(qpieces)] for i in range(40)]
-        errs: list = []
 
-        def worker(chunk):
-            try:
-                for p in chunk:
-                    searcher.search([p], k=10)
-            except Exception as e:
-                errs.append(e)
+        def qps_at(n_threads: int, n_queries: int = 40) -> float:
+            conc_q = [qpieces[i % len(qpieces)] for i in range(n_queries)]
+            errs: list = []
 
-        threads = [threading.Thread(target=worker, args=(conc_q[i::4],))
-                   for i in range(4)]
-        t0 = time.time()
-        for th in threads:
-            th.start()
-        for th in threads:
-            th.join()
-        t_conc = time.time() - t0
-        if errs:
-            raise errs[0]
-        queries_sec["bm25_concurrent_40q_4thr"] = round(t_conc, 3)
-        conc_qps = len(conc_q) / t_conc
-        log(f"concurrent 4-thread serving: {len(conc_q)} queries in "
-            f"{t_conc:.2f}s = {conc_qps:.1f} QPS")
+            def worker(chunk):
+                try:
+                    for p in chunk:
+                        searcher.search([p], k=10)
+                except Exception as e:
+                    errs.append(e)
+
+            threads = [threading.Thread(target=worker,
+                                        args=(conc_q[i::n_threads],))
+                       for i in range(n_threads)]
+            t0 = time.time()
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join()
+            if errs:
+                raise errs[0]
+            return len(conc_q) / (time.time() - t0)
+
+        qps_curve = {}
+        for nt in (1, 2, 4, 8, 16):
+            qps_curve[str(nt)] = round(qps_at(nt), 1)
+            log(f"serving {nt:>2} threads: {qps_curve[str(nt)]} QPS")
+        conc_qps = qps_curve["4"]  # round-over-round comparable figure
+        queries_sec["bm25_concurrent_40q_4thr"] = round(40 / conc_qps, 3)
 
         # dedup + analysis ops over the sf documents table
         from pears_lite_spark.dedup import lsh_candidate_pairs
@@ -286,6 +367,30 @@ def main():
     finally:
         spark.stop()
 
+    # ---- phase 4: media decode throughput (driver-local numpy — the
+    # per-executor kernel the mapInPandas media ops run; VERDICT r03 #2
+    # asks for a recorded decode rate on a 1024^2 PNG)
+    import numpy as np
+    from pears_lite_spark.functions import codecs
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (1024, 1024, 3), dtype=np.uint8)
+    png_decode_mpps = {}
+    for ft in (1, 4):  # vectorized cumsum path vs sequential Paeth
+        png = codecs.encode_png(img, filter_type=ft)
+        t0 = time.time()
+        codecs.decode_png(png)
+        png_decode_mpps[f"filter{ft}"] = round(
+            (1024 * 1024 / 1e6) / (time.time() - t0), 2)
+    log(f"png decode 1024^2 (Mpix/s): {png_decode_mpps}")
+
+    # ---- phase 5: 1x vs 10x scale probes for the pipeline ops
+    # (VERDICT r03 #3): same job at 100k and 1M docs (10k/100k vectors
+    # for ANN) — the ratio exposes any super-linear blowup.
+    scale_probes = None
+    if not os.environ.get("PEARS_BENCH_SKIP_SCALE_PROBES"):
+        scale_probes = run_scale_probes(cpus)
+        log(f"scale probes: {scale_probes}")
+
     total = sum(queries_sec.values())
     out = {
         "metric": "index-build throughput + BM25 p50 latency + scaling efficiency",
@@ -297,6 +402,9 @@ def main():
         "index_docs_per_sec": round(thr_high, 1),
         "bm25_p50_ms": round(p50, 1),
         "bm25_concurrent_qps": round(conc_qps, 1),
+        "bm25_qps_curve": qps_curve,
+        "png_decode_mpix_per_s": png_decode_mpps,
+        "scale_probes": scale_probes,
         "scaling": scaling,
     }
     print(json.dumps(out))

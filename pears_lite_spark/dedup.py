@@ -364,7 +364,8 @@ def connected_components(pairs_df: DataFrame, nodes_df: DataFrame,
                          id_col: str = "doc_id",
                          max_iters: int = 25,
                          num_salts: int = 8,
-                         hot_threshold: int = 1_000_000) -> DataFrame:
+                         hot_threshold: int = 1_000_000,
+                         stats_out: dict | None = None) -> DataFrame:
     """Undirected connected components by min-label propagation: every
     node's label converges to the smallest node id in its component
     (exact — `min` is order-free, so the result is independent of
@@ -394,7 +395,9 @@ def connected_components(pairs_df: DataFrame, nodes_df: DataFrame,
     labels = (nodes_df.select(F.col(id_col).alias("node"))
               .withColumn("label", F.col("node")).localCheckpoint())
     converged = False
+    n_iters = 0
     for _ in range(max_iters):
+        n_iters += 1
         lab_s = replicate_salted(labels, "node", hot, n_hot, num_salts)
         neigh = (und_s.join(lab_s,
                             (und_s["src"] == lab_s["node"])
@@ -420,6 +423,9 @@ def connected_components(pairs_df: DataFrame, nodes_df: DataFrame,
         if changed == 0:
             converged = True
             break
+    if stats_out is not None:
+        stats_out["cc_iters"] = n_iters
+        stats_out["cc_hot_nodes"] = n_hot
     und.unpersist()
     if n_hot > 0:
         und_s.unpersist()
@@ -434,12 +440,18 @@ def connected_components(pairs_df: DataFrame, nodes_df: DataFrame,
 
 
 def dedup_clusters(docs_df: DataFrame, max_hamming: int = 3,
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   stats_out: dict | None = None) -> DataFrame:
     """Transitive near-dup clustering: SimHash Hamming<=k pairs ->
     connected components -> (doc_id, cluster_id = min doc in cluster).
     The cluster-then-keep-one step of a C4/RefinedWeb-style dedup
     pipeline (pairwise drop alone over- or under-deletes on transitive
-    chains A~B~C)."""
+    chains A~B~C).
+
+    Band-width note for scale: max_hamming=k means k+1 bands of 32/(k+1)
+    bits; at ~1M docs use max_hamming<=1 (16-bit band keys) so band
+    buckets stay small — 8-bit keys (k=3) degenerate toward all-pairs
+    there."""
     pairs = simhash_near_dup_pairs(docs_df, max_hamming=max_hamming)
     return connected_components(pairs, docs_df.select(id_col),
-                                id_col=id_col)
+                                id_col=id_col, stats_out=stats_out)
