@@ -1293,14 +1293,45 @@ def q_embedding_near_dups(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is deliberate: the driver's correctness gate
-    evaluates the first 50 entries in dict order, so entries that have
-    never earned a green CORRECTNESS row sit FIRST (the 11 round-2
-    additions that fell outside round 2's window, then the round-3
-    additions), followed by the core operator set; long-stable trivial
-    scans (green since round 1/2) are parked past the window and rotate
-    back in if slots free up."""
+    evaluates the first 50 entries in dict order, and the order ROTATES
+    each round (COVERAGE.md): queries whose last driver-green row is
+    oldest go first — round 4 leads with the 24 queries parked outside
+    round 3's window — then queries touched by this round's code
+    changes, then the headline BM25 pair; the set parked past position
+    50 is always the one green in BOTH of the two preceding driver
+    windows."""
     return {
-        # -- never driver-checked before round 3: keep inside the window
+        # -- round-4 window head: the 24 queries parked outside round
+        #    3's window (last driver-green in r02; re-verified in the
+        #    committed full local runs every round)
+        "events_sessions": q_events_sessions,
+        "bfs_reach": q_bfs_reach,
+        "doc_neighbours": q_doc_neighbours,
+        "pod_rank": q_pod_rank,
+        "wta_l2": q_wta_l2,
+        "combined_rank": q_combined_rank,
+        "query_vectors": q_query_vectors,
+        "dedup_insert": q_dedup_insert,
+        "delete_rebuild": q_delete_rebuild,
+        "pod_counts": q_pod_counts,
+        "top3_fallback": q_top3_fallback,
+        "query_parse": q_query_parse,
+        "url_overlap": q_url_overlap,
+        "expert_threshold": q_expert_threshold,
+        "pod_share_export": q_pod_share_export,
+        "snippets": q_snippets,
+        "robots_gate": q_robots_gate,
+        "local_docs_scan": q_local_docs_scan,
+        "bookmarks_scan": q_bookmarks_scan,
+        "pod_subscribe": q_pod_subscribe,
+        "url_list_scan": q_url_list_scan,
+        "csv_docs": q_csv_docs,
+        "canonical_urls": q_canonical_urls,
+        "web_fetch": q_web_fetch,
+        # -- round-3 head entries, kept in-window: several are touched
+        #    by round-4 changes (token_budget two-phase cumsum,
+        #    pagerank/dedup_clusters hot-key salting, codec rewrite
+        #    behind media_*_real / stego_pod_import)
         "access_check": q_access_check,
         "simhash_near_dups": q_simhash_near_dups,
         "spm_tokens": q_spm_tokens,
@@ -1312,7 +1343,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_extract": q_pdf_extract,
         "link_extract": q_link_extract,
         "phrase_c6_scores": q_phrase_c6_scores,
-        # -- new in round 3
         "ivf_pruned_top10": q_ivf_pruned_top10,
         "lsh_pruned_top10": q_lsh_pruned_top10,
         "media_features_real": q_media_features_real,
@@ -1326,15 +1356,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampled_corpus": q_sampled_corpus,
         "token_budget": q_token_budget,
         "min_window": q_min_window,
-        # -- core operator set (green in round 2; entries through
-        #    events_hourly sit inside the driver's 50-query window
-        #    this round — 24 head entries above + 26 of these = 50)
+        # -- headline BM25 queries: always fresh-green
+        "bm25_top10": q_bm25_top10,
+        "bm25_wand_top10": q_bm25_wand_top10,
+        # ---- driver window boundary (position 50) ----
+        # everything below was hash-green in BOTH r02 and r03 driver
+        # windows (the safest set to park); rotation per COVERAGE.md
         "tf_top_terms": q_tf_top_terms,
         "term_df": q_term_df,
         "corpus_stats": q_corpus_stats,
         "doc_token_counts": q_doc_token_counts,
-        "bm25_top10": q_bm25_top10,
-        "bm25_wand_top10": q_bm25_wand_top10,
         "conjunctive_and": q_conjunctive_and,
         "completeness": q_completeness,
         "snippet_overlap": q_snippet_overlap,
@@ -1355,34 +1386,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "pod_top_terms": q_pod_top_terms,
         "events_hourly": q_events_hourly,
-        # ---- driver window boundary (position 50) ----
-        # everything below was hash-green in CORRECTNESS_r02 (and r01);
-        # parked per the rotation policy in COVERAGE.md
-        "events_sessions": q_events_sessions,
-        "bfs_reach": q_bfs_reach,
-        "doc_neighbours": q_doc_neighbours,
-        "pod_rank": q_pod_rank,
-        "wta_l2": q_wta_l2,
-        "combined_rank": q_combined_rank,
-        "query_vectors": q_query_vectors,
-        "dedup_insert": q_dedup_insert,
-        "delete_rebuild": q_delete_rebuild,
-        # -- stable trivial scans, green in r01+r02
-        "pod_counts": q_pod_counts,
-        "top3_fallback": q_top3_fallback,
-        "query_parse": q_query_parse,
-        "url_overlap": q_url_overlap,
-        "expert_threshold": q_expert_threshold,
-        "pod_share_export": q_pod_share_export,
-        "snippets": q_snippets,
-        "robots_gate": q_robots_gate,
-        "local_docs_scan": q_local_docs_scan,
-        "bookmarks_scan": q_bookmarks_scan,
-        "pod_subscribe": q_pod_subscribe,
-        "url_list_scan": q_url_list_scan,
-        "csv_docs": q_csv_docs,
-        "canonical_urls": q_canonical_urls,
-        "web_fetch": q_web_fetch,
     }
 
 
