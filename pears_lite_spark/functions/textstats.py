@@ -151,6 +151,96 @@ def fingerprints(docs_df: DataFrame, id_col: str = "doc_id",
             .select(id_col, F.col("fp").alias("fingerprint")).distinct())
 
 
+# Gopher rule-suite stopwords (Rae et al. 2021, table A1's "stop word"
+# rule uses this fixed 8-word list, not a full stopword lexicon)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(docs_df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 min_words: int = 50, max_words: int = 100_000) -> DataFrame:
+    """Gopher-style quality rule suite (Rae et al. 2021 table A1) as
+    per-doc boolean columns plus the conjunction: word count in
+    [min_words, max_words], mean word length in [3, 10], symbol-to-word
+    ratio ('#' chars + '...'/'…' runs) <= 0.1, >= 80% of words contain
+    an alphabetic character, and >= 2 distinct words from the fixed
+    8-word stop list. Pure column algebra — zero shuffle, whole-stage
+    codegen; exact DuckDB oracle. Returns (doc_id, n_words,
+    mean_word_len_r, symbol_ratio_r, alpha_frac_r, n_stop_kinds,
+    rule_* booleans, pass_gopher)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    w = F.filter(F.split(F.lower(t), r"\s+"), lambda x: x != "")
+    n = F.size(w)
+    # sum of word lengths == length of the text with all whitespace
+    # removed (words are exactly the \s+-split pieces)
+    wlen_sum = F.length(F.regexp_replace(t, r"\s+", ""))
+    mean_wl = F.when(n > 0, wlen_sum / n).otherwise(F.lit(0.0))
+    n_hash = F.size(F.regexp_extract_all(t, F.lit(r"#"), 0))
+    n_ell = F.size(F.regexp_extract_all(t, F.lit(r"\.\.\.|…"), 0))
+    sym_ratio = F.when(n > 0, (n_hash + n_ell) / n).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        n > 0,
+        F.size(F.filter(w, lambda x: x.rlike("[a-z]"))) / n
+    ).otherwise(F.lit(0.0))
+    n_stop = F.size(F.filter(
+        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        lambda s: F.array_contains(w, s)))
+    r_wc = (n >= min_words) & (n <= max_words)
+    r_wl = (mean_wl >= 3.0) & (mean_wl <= 10.0)
+    r_sym = sym_ratio <= 0.1
+    r_alpha = alpha_frac >= 0.8
+    r_stop = n_stop >= 2
+    return docs_df.select(
+        id_col, n.cast("long").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len_r"),
+        F.round(sym_ratio, 6).alias("symbol_ratio_r"),
+        F.round(alpha_frac, 6).alias("alpha_frac_r"),
+        n_stop.cast("long").alias("n_stop_kinds"),
+        r_wc.alias("rule_word_count"), r_wl.alias("rule_word_len"),
+        r_sym.alias("rule_symbol_ratio"), r_alpha.alias("rule_alpha"),
+        r_stop.alias("rule_stopwords"),
+        (r_wc & r_wl & r_sym & r_alpha & r_stop).alias("pass_gopher"))
+
+
+def normalize_text(docs_df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Training-data text normalization: map C0/DEL control characters
+    to spaces, collapse whitespace runs to one space, trim. Zero
+    shuffle, regexp column algebra only (Java and RE2 agree on every
+    pattern used, so the DuckDB oracle is exact). Returns (doc_id,
+    n_chars_raw, n_chars_clean, clean)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    no_ctrl = F.regexp_replace(t, r"[\x00-\x1f\x7f]", " ")
+    clean = F.trim(F.regexp_replace(no_ctrl, r"\s+", " "))
+    return docs_df.select(
+        id_col, F.length(t).cast("long").alias("n_chars_raw"),
+        F.length(clean).cast("long").alias("n_chars_clean"),
+        clean.alias("clean"))
+
+
+def domain_stats(docs_df: DataFrame, url_col: str = "url",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-host corpus rollup — the crawl-operations view (which hosts
+    dominate the corpus, at what quality): host + registered domain
+    (last two dot-labels) via the JVM parse_url builtin, then one
+    map-side-combined aggregate keyed by host. Hosts are ~millions at
+    web scale — orders of magnitude smaller than docs — so the shuffle
+    carries only partial aggregates. Returns (host, reg_domain, n_docs,
+    sum_chars, n_langs)."""
+    host = F.parse_url(F.col(url_col), F.lit("HOST"))
+    parts = F.split(host, r"\.")
+    reg = F.when(F.size(parts) >= 2,
+                 F.concat_ws(".", F.slice(parts, F.size(parts) - 1, 2))
+                 ).otherwise(host)
+    return (docs_df
+            .select(host.alias("host"), reg.alias("reg_domain"),
+                    F.length("text").alias("_chars"), "lang")
+            .groupBy("host", "reg_domain")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("_chars").cast("long").alias("sum_chars"),
+                 F.count_distinct("lang").cast("long").alias("n_langs")))
+
+
 def unigram_loglik(docs_df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:
     """LM-based quality signal (the CCNet/Wikipedia-LM filter pattern,

@@ -1,0 +1,109 @@
+"""Round-4 training-pipeline operators: Gopher rule suite, text
+normalization, per-domain rollup, benchmark n-gram decontamination.
+Oracle parity runs via tools/check_contract.py; these tests pin the
+operator semantics on crafted fixtures."""
+
+import pyspark.sql.functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ------------------------------------------------------------- gopher
+
+def test_gopher_rules_each_rule(spark):
+    from pears_lite_spark.functions.textstats import gopher_rules
+    good = " ".join(["the quick brown fox and that dog have fun with it"] * 3)
+    rows = [
+        (0, good),                                # passes all (33 words)
+        (1, "too short"),                         # fails word count
+        (2, " ".join(["a"] * 40)),                # mean word len 1 -> fails
+        (3, " ".join(["the", "of"] * 15) + " " + "#" * 1 + " ### # #"),
+        (4, " ".join(["1234"] * 25) + " the of"),  # alpha frac low
+        (5, " ".join(["zebra"] * 30)),            # no stopwords
+        (6, None),                                # null text
+    ]
+    out = {r["doc_id"]: r for r in
+           gopher_rules(_docs(spark, rows), min_words=20).collect()}
+    assert out[0]["pass_gopher"]
+    assert not out[1]["rule_word_count"]
+    assert not out[2]["rule_word_len"]
+    assert not out[3]["rule_symbol_ratio"] and out[3]["rule_stopwords"]
+    assert not out[4]["rule_alpha"]
+    assert not out[5]["rule_stopwords"] and out[5]["n_stop_kinds"] == 0
+    assert out[6]["n_words"] == 0 and not out[6]["pass_gopher"]
+
+
+def test_gopher_symbol_counting(spark):
+    from pears_lite_spark.functions.textstats import gopher_rules
+    # '....' is ONE non-overlapping '...' match; '…' counts too
+    rows = [(0, "a .... b … c " + " ".join(["w"] * 17))]
+    r = gopher_rules(_docs(spark, rows), min_words=1).collect()[0]
+    # symbol_ratio_r is rounded to 6 decimals
+    assert abs(r["symbol_ratio_r"] - 2 / r["n_words"]) < 1e-6
+
+
+# ---------------------------------------------------------- normalize
+
+def test_normalize_text_controls_and_idempotence(spark):
+    from pears_lite_spark.functions.textstats import normalize_text
+    rows = [(0, "\ta\x01b  c\x7f  "), (1, "clean already"), (2, None)]
+    out = {r["doc_id"]: r for r in
+           normalize_text(_docs(spark, rows)).collect()}
+    assert out[0]["clean"] == "a b c"
+    assert out[1]["clean"] == "clean already"
+    assert out[2]["clean"] == "" and out[2]["n_chars_raw"] == 0
+    # idempotence: normalizing the clean text is the identity
+    again = normalize_text(
+        _docs(spark, [(i, out[i]["clean"]) for i in (0, 1, 2)]))
+    for r in again.collect():
+        assert r["clean"] == out[r["doc_id"]]["clean"]
+        assert r["n_chars_raw"] == r["n_chars_clean"]
+
+
+# ------------------------------------------------------- domain stats
+
+def test_domain_stats_rollup(spark):
+    from pears_lite_spark.functions.textstats import domain_stats
+    rows = [(0, "aa", "en", "https://a.x.example/p0"),
+            (1, "bbbb", "de", "https://a.x.example/p1"),
+            (2, "c", "en", "https://b.y.example/p2")]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, url string")
+    out = {r["host"]: r for r in domain_stats(df).collect()}
+    a = out["a.x.example"]
+    assert a["reg_domain"] == "x.example"
+    assert a["n_docs"] == 2 and a["sum_chars"] == 6 and a["n_langs"] == 2
+    assert out["b.y.example"]["n_docs"] == 1
+
+
+# ------------------------------------------------------ decontaminate
+
+def test_ngram_contamination_planted_leak(spark):
+    from pears_lite_spark.functions.decontam import ngram_contamination
+    bench_line = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = _docs(spark, [
+        (0, "intro words " + bench_line + " outro words"),   # leaked
+        (1, "totally unrelated text with plenty of words here"),
+        (2, bench_line + " filler " + bench_line),           # repeat -> 1 hit
+        (3, "short doc"),                                    # < n tokens
+    ])
+    bench = spark.createDataFrame([(bench_line,)], "text string")
+    out = {r["doc_id"]: r for r in
+           ngram_contamination(docs, bench, n=8).collect()}
+    assert out[0]["contaminated"] and out[0]["n_hit"] == 1
+    assert not out[1]["contaminated"] and out[1]["n_hit"] == 0
+    assert out[2]["contaminated"] and out[2]["n_hit"] == 1  # DISTINCT grams
+    assert out[3]["n_ngrams"] == 0 and not out[3]["contaminated"]
+    # n_ngrams accounting: len >= 8 -> len - 7
+    assert out[0]["n_ngrams"] == 12 - 7
+
+
+def test_ngram_contamination_case_insensitive(spark):
+    from pears_lite_spark.functions.decontam import ngram_contamination
+    line = "One Two Three Four Five Six Seven Eight"
+    docs = _docs(spark, [(0, line.lower())])
+    bench = spark.createDataFrame([(line,)], "text string")
+    out = ngram_contamination(docs, bench, n=8).collect()[0]
+    assert out["contaminated"]
