@@ -6,19 +6,41 @@ The reference extracts with BeautifulSoup + jusText + langdetect
 plus a trailing space, snippet = `body[:300].replace(',','-')`, language
 via langdetect. None of those libraries exist in this environment, so
 this module is a faithful, deterministic, self-contained reimplementation
-of that pipeline using jusText's published classification parameters
-(max_link_density=0.3, stopwords_low=0.1, stopwords_high=0.3,
-length_low=30, length_high=100 — `htmlparser.py:22-26`):
+of that pipeline: jusText's FULL published two-pass algorithm (Pomikálek
+2011, "Removing boilerplate and duplicate content from web corpora", and
+the open-source justext package's documented behavior) with the
+reference's parameters (max_link_density=0.3, stopwords_low=0.1,
+stopwords_high=0.3, length_low=30, length_high=100 —
+`htmlparser.py:22-26`):
 
 - paragraphs = text of block-level segments (<p>, <li>, <h*>, <div>,
-  <td>, <nav>, <footer>, ...), whitespace-normalized;
-- a paragraph is KEPT iff link_density <= 0.3 AND len >= 30 AND
-  stopword_density >= 0.1 (jusText's core good/bad split; the
-  short/near-good refinement collapses deterministically for our corpus);
-- body = kept paragraphs joined by ' ' + trailing ' ' (htmlparser.py:106);
+  <td>, <nav>, <footer>, ...), whitespace-normalized; segments inside
+  <h1>-<h6> carry a heading flag;
+- context-free pass per paragraph: link_density > 0.3 -> bad; contains a
+  copyright mark ('\xa9' / '&copy') -> bad; len < length_low -> bad if
+  it has link chars else short; stopword_density >= stopwords_high ->
+  good if len > length_high else neargood; >= stopwords_low -> neargood;
+  else bad;
+- context-sensitive pass: short headings within MAX_HEADING_DISTANCE
+  chars of a good paragraph -> neargood; short blocks take their
+  nearest good/bad neighbours' verdict (good+good -> good, bad+bad ->
+  bad, mixed -> good only via an adjacent neargood); neargood blocks
+  die only between two bads; demoted headings near good content are
+  reclaimed;
+- body = good paragraphs joined by ' ' + trailing ' ' (htmlparser.py:106)
+  — is_boilerplate == (class != good), mirroring htmlparser.py:28-30;
 - snippet = body[:300].replace(',', '-') (htmlparser.py:109);
 - language = stopword-profile argmax over {en,de,fr,es} ('xx' when no
   profile scores), replacing langdetect (htmlparser.py:98).
+
+Documented divergences from the real libraries (both absent here): the
+stopword density uses the best-matching of four compact built-in
+function-word profiles instead of jusText's per-language shipped
+stoplists (the reference passes its single configured language's list),
+and paragraph segmentation is regex-over-tags rather than an lxml DOM
+walk (no dom_path, so jusText's 'select' rule has no equivalent). The
+gated differential in tests/test_extract_library_differential.py diffs
+against the real libraries whenever they are importable.
 
 The SAME function runs driver-side (pytest oracle) and inside the Arrow
 `mapInPandas` UDF (engine) — the parity test asserts byte-identical
@@ -40,11 +62,26 @@ STOPWORDS_HIGH = 0.3
 LENGTH_LOW = 30
 LENGTH_HIGH = 100
 SNIPPET_LEN = 300
+# jusText's default: a short heading adopts nearby good content within
+# this many characters of following-paragraph text
+MAX_HEADING_DISTANCE = 200
 
-# compact function-word profiles for the deterministic language id
+# Function-word profiles for stopword density + the deterministic
+# language id. jusText ships full per-language stoplists; these are
+# compact public function-word inventories standing in for them (the
+# en profile is sized so that natural English text lands well above
+# stopwords_high, as it does under the real stoplist).
 LANG_STOPWORDS: dict[str, frozenset] = {
     "en": frozenset("the of and to a in is was as for on with that it by at "
-                    "from his he this are be or an were which have".split()),
+                    "from his he this are be or an were which have not they "
+                    "had her she its but one all their there when who more "
+                    "no if out so up what about into them can only other "
+                    "time new some could these two may then do first any my "
+                    "now such like our over even most made after also did "
+                    "many before must through where much your way well down "
+                    "should because each just those how too very still own "
+                    "between never same another while might us since "
+                    "against came".split()),
     "de": frozenset("der die das und ist von zu mit den im für auf des ein "
                     "eine nicht sich dem als auch es an werden aus er".split()),
     "fr": frozenset("le la les de des et un une du en est que pour dans qui "
@@ -82,11 +119,13 @@ def _lang_hits(words) -> list[int]:
     return counts
 
 _TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title>", re.IGNORECASE | re.DOTALL)
-_BLOCK_SPLIT_RE = re.compile(
-    r"</?(?:p|div|li|ul|ol|h[1-6]|td|tr|table|nav|footer|header|article|"
-    r"section|br|blockquote|pre|body|html)\b[^>]*>",
+_BLOCK_SPLIT_CAP_RE = re.compile(
+    r"(</?(?:p|div|li|ul|ol|h[1-6]|td|tr|table|nav|footer|header|article|"
+    r"section|br|blockquote|pre|body|html)\b[^>]*>)",
     re.IGNORECASE,
 )
+_H_OPEN_RE = re.compile(r"<h[1-6]\b", re.IGNORECASE)
+_H_CLOSE_RE = re.compile(r"</h[1-6]\s*>", re.IGNORECASE)
 _A_RE = re.compile(r"<a\b[^>]*>(.*?)</a>", re.IGNORECASE | re.DOTALL)
 _TAG_RE = re.compile(r"<[^>]+>")
 _SCRIPT_RE = re.compile(r"<(script|style)\b[^>]*>.*?</\1>",
@@ -118,41 +157,186 @@ def detect_lang(text: str) -> str:
     return best_lang if best_hits > 0 else "xx"
 
 
-def _classify_counted(raw_html_segment: str):
-    """(clean_text, keep?, lang_counts|None) for one block segment;
-    counts are returned only when computed (kept paragraphs always
-    carry them) so extract_html can reuse them for language id."""
-    text = _strip_tags(raw_html_segment)
-    if not text:
-        return "", False, None
-    if "<a" in raw_html_segment or "<A" in raw_html_segment:
-        link_chars = sum(len(_strip_tags(m))
-                         for m in _A_RE.findall(raw_html_segment))
-        if link_chars / len(text) > MAX_LINK_DENSITY:
-            return text, False, None
-    if len(text) < LENGTH_LOW:
-        return text, False, None
-    words = [w.lower() for w in _WORD_RE.findall(text)]
-    if not words:
-        return text, False, None
-    # jusText runs with a per-language stoplist; we are language-agnostic
-    # and take the best-matching known profile (deterministic).
-    counts = _lang_hits(words)
-    return text, max(counts) / len(words) >= STOPWORDS_LOW, counts
+class _Para:
+    """One candidate paragraph: a block-level segment with text.
+
+    Tokenization is lazy: paragraphs killed by link density / copyright
+    / length never pay for word counting (the extraction hot path —
+    nav/footer boilerplate dominates segment counts on real pages).
+    jusText runs with one per-language stoplist; we are language-
+    agnostic and take the best-matching known profile (deterministic);
+    counts are reused for document language id."""
+    __slots__ = ("text", "heading", "link_chars", "_counts", "_n_words",
+                 "cf", "cls")
+
+    def __init__(self, text: str, heading: bool, link_chars: int):
+        self.text = text
+        self.heading = heading
+        self.link_chars = link_chars
+        self._counts = None
+        self._n_words = -1
+        self.cf = self.cls = "bad"
+
+    def _tokenize(self) -> None:
+        words = [w.lower() for w in _WORD_RE.findall(self.text)]
+        self._n_words = len(words)
+        self._counts = _lang_hits(words) if words else [0, 0, 0, 0]
+
+    @property
+    def n_words(self) -> int:
+        if self._n_words < 0:
+            self._tokenize()
+        return self._n_words
+
+    @property
+    def counts(self) -> list:
+        if self._counts is None:
+            self._tokenize()
+        return self._counts
+
+
+def _segment_paragraphs(body_html: str) -> list[_Para]:
+    """Block-tag segmentation with heading tracking: split on block
+    tags, keep the tags (capturing split) so <h1>-<h6> nesting state is
+    known for each text segment. Whitespace-only segments never become
+    paragraphs (they must not act as neighbours in the revision pass)."""
+    paras: list[_Para] = []
+    in_heading = 0
+    for i, tok in enumerate(_BLOCK_SPLIT_CAP_RE.split(body_html)):
+        if i % 2 == 1:  # a block tag
+            if _H_OPEN_RE.match(tok):
+                in_heading += 1
+            elif _H_CLOSE_RE.match(tok):
+                in_heading = max(0, in_heading - 1)
+            continue
+        if not tok or tok.isspace():  # inter-tag whitespace, common case
+            continue
+        text = _strip_tags(tok)
+        if not text:
+            continue
+        link_chars = 0
+        if "<a" in tok or "<A" in tok:
+            link_chars = sum(len(_strip_tags(m)) for m in _A_RE.findall(tok))
+        copyright_mark = "\xa9" in text or "&copy" in tok
+        p = _Para(text, in_heading > 0, link_chars)
+        p.cf = _cf_class(p, copyright_mark)
+        paras.append(p)
+    return paras
+
+
+def _cf_class(p: _Para, copyright_mark: bool) -> str:
+    """jusText context-free classification (paper §published algorithm;
+    parameters from htmlparser.py:22-26). No dom_path here, so the
+    library's CSS-'select' rule has no equivalent."""
+    length = len(p.text)
+    if p.link_chars / length > MAX_LINK_DENSITY:
+        return "bad"
+    if copyright_mark:
+        return "bad"
+    if length < LENGTH_LOW:
+        return "bad" if p.link_chars > 0 else "short"
+    if p._n_words < 0:
+        p._tokenize()
+    if p._n_words == 0:
+        return "bad"
+    density = max(p._counts) / p._n_words
+    if density >= STOPWORDS_HIGH:
+        return "good" if length > LENGTH_HIGH else "neargood"
+    if density >= STOPWORDS_LOW:
+        return "neargood"
+    return "bad"
+
+
+def _neighbour(i: int, paras: list[_Para], ignore_neargood: bool,
+               inc: int, boundary: int) -> str:
+    """Nearest decided neighbour's class walking by `inc`; document
+    boundaries count as 'bad' (jusText's edge rule)."""
+    while i + inc != boundary:
+        i += inc
+        c = paras[i].cls
+        if c in ("good", "bad"):
+            return c
+        if c == "neargood" and not ignore_neargood:
+            return c
+    return "bad"
+
+
+def _revise(paras: list[_Para]) -> None:
+    """jusText context-sensitive pass, in the library's documented
+    order: good-heading promotion, short resolution (batch-applied),
+    neargood resolution (sequential), demoted-heading reclaim."""
+    n = len(paras)
+    for p in paras:
+        p.cls = p.cf
+    # short headings adopt nearby good content
+    for i, p in enumerate(paras):
+        if not (p.heading and p.cls == "short"):
+            continue
+        dist, j = 0, i + 1
+        while j < n and dist <= MAX_HEADING_DISTANCE:
+            if paras[j].cls == "good":
+                p.cls = "neargood"
+                break
+            dist += len(paras[j].text)
+            j += 1
+    # short blocks take their nearest good/bad neighbours' verdict;
+    # decisions are applied AFTER the loop (shorts don't see each other)
+    new_cls: dict[int, str] = {}
+    for i, p in enumerate(paras):
+        if p.cls != "short":
+            continue
+        prev = _neighbour(i, paras, True, -1, -1)
+        nxt = _neighbour(i, paras, True, 1, n)
+        if prev == "good" and nxt == "good":
+            new_cls[i] = "good"
+        elif prev == "bad" and nxt == "bad":
+            new_cls[i] = "bad"
+        elif ((prev == "bad" and
+               _neighbour(i, paras, False, -1, -1) == "neargood") or
+              (nxt == "bad" and
+               _neighbour(i, paras, False, 1, n) == "neargood")):
+            new_cls[i] = "good"
+        else:
+            new_cls[i] = "bad"
+    for i, c in new_cls.items():
+        paras[i].cls = c
+    # neargood dies only between two bads (sequential, like the library)
+    for i, p in enumerate(paras):
+        if p.cls != "neargood":
+            continue
+        prev = _neighbour(i, paras, True, -1, -1)
+        nxt = _neighbour(i, paras, True, 1, n)
+        p.cls = "bad" if (prev == "bad" and nxt == "bad") else "good"
+    # headings demoted by context get reclaimed near good content
+    for i, p in enumerate(paras):
+        if not (p.heading and p.cls == "bad" and p.cf != "bad"):
+            continue
+        dist, j = 0, i + 1
+        while j < n and dist <= MAX_HEADING_DISTANCE:
+            if paras[j].cls == "good":
+                p.cls = "good"
+                break
+            dist += len(paras[j].text)
+            j += 1
 
 
 def classify_paragraph(raw_html_segment: str) -> tuple[str, bool]:
-    """Return (clean_text, keep?) for one block-level segment."""
-    text, keep, _ = _classify_counted(raw_html_segment)
-    return text, keep
+    """Return (clean_text, keep?) for one standalone block-level segment
+    (single-paragraph document: context-free class + boundary revision)."""
+    paras = _segment_paragraphs(raw_html_segment)
+    if not paras:
+        return _strip_tags(raw_html_segment), False
+    _revise(paras)
+    return paras[0].text, paras[0].cls == "good"
 
 
 def extract_html(html: bytes | str) -> tuple[str, str, str, str]:
     """(title, body_text, snippet, lang) — mirrors
-    `/root/reference/app/indexer/htmlparser.py:78-110` semantics.
+    `/root/reference/app/indexer/htmlparser.py:78-110` semantics with
+    the full two-pass jusText classification.
 
     Language id reuses the per-paragraph stopword counts: the body is
-    the kept paragraphs joined by ' ', so summing their counts (plus
+    the good paragraphs joined by ' ', so summing their counts (plus
     the title's) equals `detect_lang(title + ' ' + body)` exactly —
     no second tokenization pass over the document."""
     if isinstance(html, (bytes, bytearray)):
@@ -160,17 +344,18 @@ def extract_html(html: bytes | str) -> tuple[str, str, str, str]:
     m = _TITLE_RE.search(html)
     title = _strip_tags(m.group(1)) if m else ""
     body_html = _SCRIPT_RE.sub(" ", _HEAD_RE.sub(" ", html))
+    paras = _segment_paragraphs(body_html)
+    _revise(paras)
     kept: list[str] = []
     totals = _lang_hits(w.lower() for w in _WORD_RE.findall(title)) \
         if title else [0, 0, 0, 0]
     any_word = bool(title and _WORD_RE.search(title))
-    for seg in _BLOCK_SPLIT_RE.split(body_html):
-        text, keep, counts = _classify_counted(seg)
-        if keep:
-            kept.append(text)
+    for p in paras:
+        if p.cls == "good":
+            kept.append(p.text)
             any_word = True
             for i in range(4):
-                totals[i] += counts[i]
+                totals[i] += p.counts[i]
     # join with ' ' and trailing space, per htmlparser.py:104-106
     body = ""
     for p in kept:

@@ -28,19 +28,66 @@ def test_extract_parity_spark(spark, corpus_pdf):
     assert (m.lang_got == m.lang_exp).all()
 
 
+GOOD_P = (b"<p>the quick brown fox jumps over the lazy dog and it runs far "
+          b"away from the old house into the deep green forest by the "
+          b"river</p>")  # >100 chars, high stopword density -> cf good
+
+
 def test_extract_boilerplate_rules():
     html = (b"<html><head><title>T</title></head><body>"
             b"<nav><a href='/'>home</a> <a href='/x'>about</a></nav>"
-            b"<p>the quick brown fox jumps over the lazy dog and runs far away today</p>"
+            + GOOD_P +
             b"<p>short</p>"
             b"<footer>copyright 2024</footer></body></html>")
     title, body, snippet, lang = extract_html(html)
     assert title == "T"
     assert "quick brown fox" in body
     assert "home" not in body          # link-density kill
-    assert "short" not in body         # length kill
-    assert "copyright" not in body     # stopword-density kill
+    assert "short" not in body         # short, good+bad neighbours -> bad
+    assert "copyright" not in body     # short boilerplate -> bad
     assert lang == "en"
+
+
+def test_revision_short_between_goods_promoted():
+    # jusText context-sensitive rule: a short block flanked by good
+    # paragraphs on both sides is content (figure caption, list item)
+    html = (b"<html><body>" + GOOD_P + b"<p>fig one</p>" + GOOD_P
+            + b"</body></html>")
+    _, body, _, _ = extract_html(html)
+    assert "fig one" in body
+
+
+def test_revision_lone_neargood_dies():
+    # neargood between two document boundaries (= bad) is boilerplate;
+    # real jusText drops a lone sub-length_high paragraph like this
+    html = (b"<html><body><p>the quick brown fox jumps over the lazy "
+            b"dog today</p></body></html>")
+    _, body, _, _ = extract_html(html)
+    assert body == ""
+
+
+def test_revision_heading_adopts_good_content():
+    # a short heading directly above good content is kept (neargood ->
+    # good via the neighbour rule), per jusText's heading promotion
+    html = (b"<html><body><h2>Forest rivers</h2>" + GOOD_P
+            + b"</body></html>")
+    _, body, _, _ = extract_html(html)
+    assert body.startswith("Forest rivers ")
+    # the same short text NOT as a heading, at the document edge -> bad
+    html2 = (b"<html><body><p>Forest rivers</p>" + GOOD_P
+             + b"</body></html>")
+    _, body2, _, _ = extract_html(html2)
+    assert not body2.startswith("Forest rivers")
+
+
+def test_copyright_mark_kills_paragraph():
+    p = ("<p>\xa9 2024 the quick brown fox jumps over the lazy dog and "
+         "it runs far away from the old house into the deep green "
+         "forest</p>").encode("utf-8")
+    html = b"<html><body>" + GOOD_P + p + b"</body></html>"
+    _, body, _, _ = extract_html(html)
+    assert "\xa9" not in body and "2024" not in body
+    assert "quick brown fox" in body  # the clean twin stays
 
 
 def test_detect_lang_profiles():
