@@ -364,6 +364,16 @@ def main():
         t0 = time.time()
         unigram_loglik(docs_tbl).count()
         queries_sec["unigram_loglik"] = round(time.time() - t0, 3)
+        from pears_lite_spark.functions.textstats import gopher_rules
+        t0 = time.time()
+        gopher_rules(docs_tbl, min_words=20).count()
+        queries_sec["gopher_rules"] = round(time.time() - t0, 3)
+        # line dedup over the contract's deterministic 10-word line
+        # breaking (the sf documents table has no newlines of its own)
+        from pears_lite_spark.contract import q_line_dedup
+        t0 = time.time()
+        q_line_dedup(spark, sf_dir).count()
+        queries_sec["line_dedup"] = round(time.time() - t0, 3)
     finally:
         spark.stop()
 

@@ -504,6 +504,44 @@ def q_decontaminate(spark, sf_dir):
     return ngram_contamination(docs, bench, n=8)
 
 
+def q_line_dedup(spark, sf_dir):
+    """Corpus-frequency line dedup over deterministically line-broken
+    docs (10-word lines) with a planted high-df boilerplate line (every
+    even doc) and a planted rare line (every 200th doc, df below the
+    threshold so it must survive). text_clean compared via md5."""
+    from .dedup import line_dedup
+    docs = _docs(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
+        lambda x: x != "")
+    nl = F.ceil(F.size(toks) / F.lit(10.0)).cast("int")
+    content = F.when(F.size(toks) > 0, F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * 10 + 1, 10)))
+    ).otherwise(F.array().cast("array<string>"))
+    planted = F.concat(
+        content,
+        F.when(F.col("doc_id") % 2 == 0,
+               F.array(F.lit("all rights reserved legal notice example"))
+               ).otherwise(F.array().cast("array<string>")),
+        F.when(F.col("doc_id") % 200 == 0,
+               F.array(F.lit("rare line token alpha beta"))
+               ).otherwise(F.array().cast("array<string>")))
+    aug = docs.withColumn("text", F.concat_ws("\n", planted))
+    out = line_dedup(aug, min_doc_freq=5)
+    return out.select("doc_id", "n_lines", "n_kept",
+                      F.md5("text_clean").alias("clean_md5"))
+
+
+def q_anchor_text(spark, sf_dir):
+    """Anchor extraction + per-target rollup over the synthetic html
+    corpus; oracle mirrors the <a> element regex, urljoin rules, tag
+    stripping, and the frequency-ranked top-k window in DuckDB SQL."""
+    from .sources import anchor_text_rollup, extract_anchors_df
+    cdf = spark.read.parquet(_fixture_links_corpus_parquet())
+    return anchor_text_rollup(extract_anchors_df(cdf))
+
+
 def q_embedding_top10(spark, sf_dir):
     from .ann import brute_topk
     emb = _emb(spark, sf_dir)
@@ -1395,8 +1433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "domain_stats": q_domain_stats,
         "decontaminate": q_decontaminate,
-        "pdf_extract": q_pdf_extract,
-        "link_extract": q_link_extract,
+        "line_dedup": q_line_dedup,
+        "anchor_text": q_anchor_text,
         "phrase_c6_scores": q_phrase_c6_scores,
         "ivf_pruned_top10": q_ivf_pruned_top10,
         "lsh_pruned_top10": q_lsh_pruned_top10,
@@ -1424,6 +1462,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_plan": q_frame_plan,
         "media_resize": q_media_resize,
         "min_window": q_min_window,
+        # displaced by the two late-round-4 queries: link_extract's
+        # regex+urljoin path is a strict subset of anchor_text's, and
+        # pdf_extract is untouched this round (both r03-green and
+        # re-verified in the committed full local run)
+        "pdf_extract": q_pdf_extract,
+        "link_extract": q_link_extract,
         "tf_top_terms": q_tf_top_terms,
         "term_df": q_term_df,
         "corpus_stats": q_corpus_stats,
@@ -1899,6 +1943,71 @@ SELECT c.doc_id,
   coalesce(n_hit, 0)::BIGINT AS n_hit,
   coalesce(n_hit, 0) > 0 AS contaminated
 FROM ch c LEFT JOIN hits USING (doc_id)""",
+
+        "line_dedup": """
+WITH t AS (SELECT doc_id,
+    list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                x -> x <> '') AS w
+  FROM documents),
+lx AS (SELECT doc_id,
+    (CASE WHEN len(w) > 0 THEN
+       list_transform(range(0, CAST(ceil(len(w) / 10.0) AS INT)),
+                      i -> array_to_string(w[i*10+1:i*10+10], ' '))
+     ELSE [] END)
+    || (CASE WHEN doc_id % 2 = 0
+             THEN ['all rights reserved legal notice example']
+             ELSE [] END)
+    || (CASE WHEN doc_id % 200 = 0
+             THEN ['rare line token alpha beta'] ELSE [] END) AS lines
+  FROM t),
+ex AS (SELECT doc_id, unnest(range(len(lines))) AS pos,
+              unnest(lines) AS line
+  FROM lx),
+ne AS (SELECT doc_id, pos, line, trim(line) AS tl
+  FROM ex WHERE trim(line) <> ''),
+flagged AS (SELECT tl FROM (
+    SELECT tl, count(DISTINCT doc_id) AS df FROM ne GROUP BY tl) x
+  WHERE df >= 5),
+kept AS (SELECT doc_id, pos, line FROM ne
+  WHERE tl NOT IN (SELECT tl FROM flagged)),
+agg AS (SELECT doc_id, count(*) AS n_kept,
+    string_agg(line, chr(10) ORDER BY pos) AS text_clean
+  FROM kept GROUP BY doc_id),
+base AS (SELECT doc_id, count(*) AS n_lines FROM ne GROUP BY doc_id)
+SELECT b.doc_id, b.n_lines::BIGINT AS n_lines,
+  coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+  md5(coalesce(a.text_clean, '')) AS clean_md5
+FROM base b LEFT JOIN agg a USING (doc_id)""",
+
+        "anchor_text": r"""
+WITH c AS (SELECT url, html FROM read_parquet('{path}')),
+e AS (SELECT url, unnest(regexp_extract_all(html,
+    '(?is)<a\b[^>]*?href\s*=\s*["'']([^"''#]+)["''][^>]*>.*?</a>')) AS el
+  FROM c),
+p AS (SELECT url,
+    regexp_extract(el, '(?i)href\s*=\s*["'']([^"''#]+)["'']', 1) AS href,
+    trim(regexp_replace(regexp_replace(
+        regexp_extract(el, '(?is)>(.*)</a>$', 1),
+        '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')) AS anchor
+  FROM e),
+l AS (SELECT
+  CASE WHEN regexp_matches(href, '^[a-zA-Z][a-zA-Z0-9+.-]*://') THEN href
+       WHEN href LIKE '//%' THEN
+         regexp_extract(url, '^([a-zA-Z]+:)', 1) || href
+       WHEN href LIKE '/%' THEN
+         regexp_extract(url, '^([a-zA-Z]+://[^/]+)', 1) || href
+       ELSE regexp_replace(url, '[^/]*$', '') || href END AS link,
+  anchor FROM p),
+pair AS (SELECT link, anchor, count(*) AS cnt FROM l GROUP BY 1, 2),
+rk AS (SELECT link, anchor, cnt,
+    row_number() OVER (PARTITION BY link
+                       ORDER BY cnt DESC, anchor) AS r
+  FROM pair)
+SELECT link, sum(cnt)::BIGINT AS n_anchors,
+  count(*)::BIGINT AS n_distinct_anchors,
+  string_agg(CASE WHEN r <= 3 THEN anchor END, '|' ORDER BY r)
+    AS top_anchors
+FROM rk GROUP BY link""".replace("{path}", _fixture_links_corpus_parquet()),
 
         "redact_pii": """
 WITH aug AS (SELECT doc_id,

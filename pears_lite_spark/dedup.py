@@ -78,6 +78,46 @@ def span_dedup(docs_df: DataFrame, k: int = 12, id_col: str = "doc_id",
                     F.coalesce("text_clean", F.lit("")).alias("text_clean")))
 
 
+def line_dedup(docs_df: DataFrame, min_doc_freq: int = 5,
+               id_col: str = "doc_id", text_col: str = "text",
+               sep: str = "\n") -> DataFrame:
+    """Corpus-frequency line dedup (the C4/CCNet/RefinedWeb boilerplate
+    rule): a line whose trimmed form occurs in >= min_doc_freq DISTINCT
+    documents is boilerplate (cookie banners, legal footers, nav text);
+    every occurrence is removed and each doc is reassembled from its
+    surviving lines in order. Returns (doc_id, n_lines, n_kept,
+    text_clean).
+
+    Scale shape: lines are keyed by md5 before any wide exchange, so
+    the frequency aggregate shuffles (16-byte key, doc_id) pairs with
+    map-side partial distinct — never line text. The anti-join that
+    removes flagged lines shuffles on the same key (AQE broadcasts the
+    flagged side when it is small, the common case: few lines cross a
+    corpus-level df threshold). Reassembly is one groupBy(doc_id) of
+    surviving (pos, line) pairs. No pair space anywhere."""
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+    ex = (docs_df.select(id_col, F.posexplode(lines).alias("pos", "line"))
+          .withColumn("_t", F.trim("line"))
+          .filter(F.col("_t") != "")
+          .withColumn("_k", F.md5("_t")))
+    flagged = (ex.groupBy("_k")
+               .agg(F.count_distinct(id_col).alias("_df"))
+               .filter(F.col("_df") >= min_doc_freq)
+               .select("_k"))
+    kept = ex.join(flagged, "_k", "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(sep, F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "line"))),
+            lambda s: s["line"])).alias("text_clean"))
+    base = (ex.groupBy(id_col)
+            .agg(F.count("*").alias("n_lines")))
+    return (base.join(agg, id_col, "left")
+            .select(id_col, "n_lines",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    F.coalesce("text_clean", F.lit("")).alias("text_clean")))
+
+
 def shingles(docs_df: DataFrame, n: int = DEFAULT_SHINGLE,
              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Distinct word n-gram shingles per doc: (doc_id, shingle)."""

@@ -37,6 +37,10 @@ def read_url_list(spark: SparkSession, path: str,
 
 _HREF_RE = re.compile(r"""<a\b[^>]*?href\s*=\s*["']([^"'#]+)["']""",
                       re.IGNORECASE)
+_ANCHOR_EL_RE = re.compile(
+    r"""<a\b[^>]*?href\s*=\s*["']([^"'#]+)["'][^>]*>(.*?)</a>""",
+    re.IGNORECASE | re.DOTALL)
+_TAG_SUB_RE = re.compile(r"<[^>]+>")
 
 
 def _urljoin(base: str, href: str) -> str:
@@ -65,6 +69,60 @@ def extract_links_df(corpus_df: DataFrame) -> DataFrame:
             yield pd.DataFrame({"url": us, "link": ls})
 
     return corpus_df.select("url", "html").mapInPandas(kernel, out_schema)
+
+
+def extract_anchors_df(corpus_df: DataFrame) -> DataFrame:
+    """S6 extended with anchor text: per `<a href>` element emit
+    (url, link, anchor) where link is absolutized against the page url
+    and anchor is the element's tag-stripped, whitespace-normalized
+    inner text. Same Arrow-batch shape as extract_links_df."""
+    out_schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("link", T.StringType()),
+        T.StructField("anchor", T.StringType()),
+    ])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            us, ls, ans = [], [], []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                text = (html.decode("utf-8", "replace")
+                        if isinstance(html, (bytes, bytearray)) else html)
+                for href, inner in _ANCHOR_EL_RE.findall(text or ""):
+                    us.append(url)
+                    ls.append(_urljoin(url, href))
+                    ans.append(" ".join(_TAG_SUB_RE.sub(" ", inner).split()))
+            yield pd.DataFrame({"url": us, "link": ls, "anchor": ans})
+
+    return corpus_df.select("url", "html").mapInPandas(kernel, out_schema)
+
+
+def anchor_text_rollup(anchors_df: DataFrame,
+                       max_anchors: int = 3) -> DataFrame:
+    """Per-target anchor-text aggregation — the classic web-IR doc
+    enrichment signal (what the web calls a page): for each link target,
+    total anchor count, distinct anchor strings, and the top
+    `max_anchors` anchors by frequency (ties by string) joined with '|'.
+    Returns (link, n_anchors, n_distinct_anchors, top_anchors).
+
+    Scale shape: the (link, anchor) pre-aggregate has full map-side
+    combine, so a celebrity target (a homepage linked from everywhere)
+    collapses to its DISTINCT anchor strings before any window runs;
+    the top-k window and the final rollup then operate on that reduced
+    key space, shuffling on the same `link` key (exchange reuse). No
+    collect_set of unbounded per-key state."""
+    pairs = (anchors_df.groupBy("link", "anchor")
+             .agg(F.count("*").alias("_cnt")))
+    w = Window.partitionBy("link").orderBy(F.desc("_cnt"), F.asc("anchor"))
+    ranked = pairs.withColumn("_r", F.row_number().over(w))
+    return (ranked.groupBy("link").agg(
+        F.sum("_cnt").cast("long").alias("n_anchors"),
+        F.count("*").cast("long").alias("n_distinct_anchors"),
+        F.concat_ws("|", F.transform(
+            F.array_sort(F.collect_list(F.when(
+                F.col("_r") <= max_anchors,
+                F.struct("_r", "anchor")))),
+            lambda s: s["anchor"])).alias("top_anchors")))
 
 
 def canonical_url(u) -> "F.Column":

@@ -107,3 +107,77 @@ def test_ngram_contamination_case_insensitive(spark):
     bench = spark.createDataFrame([(line,)], "text string")
     out = ngram_contamination(docs, bench, n=8).collect()[0]
     assert out["contaminated"]
+
+
+# --------------------------------------------------------- line_dedup
+
+def test_line_dedup_removes_high_df_lines(spark):
+    from pears_lite_spark.dedup import line_dedup
+    boiler = "accept cookies to continue"
+    docs = _docs(spark, [
+        (i, f"unique content line {i}\n{boiler}") for i in range(5)
+    ] + [(5, "solo doc with its own text")])
+    out = {r["doc_id"]: r for r in
+           line_dedup(docs, min_doc_freq=5).collect()}
+    for i in range(5):
+        assert out[i]["n_lines"] == 2 and out[i]["n_kept"] == 1
+        assert boiler not in out[i]["text_clean"]
+        assert f"unique content line {i}" == out[i]["text_clean"]
+    assert out[5]["text_clean"] == "solo doc with its own text"
+
+
+def test_line_dedup_below_threshold_survives_and_order_kept(spark):
+    from pears_lite_spark.dedup import line_dedup
+    shared = "shared but rare line"
+    docs = _docs(spark, [
+        (0, f"first\n{shared}\nlast"),
+        (1, f"{shared}\nother"),
+    ])
+    out = {r["doc_id"]: r for r in
+           line_dedup(docs, min_doc_freq=3).collect()}
+    assert out[0]["text_clean"] == f"first\n{shared}\nlast"  # order intact
+    assert out[1]["n_kept"] == 2
+
+
+def test_line_dedup_trim_keyed_but_raw_reassembled(spark):
+    from pears_lite_spark.dedup import line_dedup
+    docs = _docs(spark, [
+        (0, "  padded boiler  \nown line zero"),
+        (1, "padded boiler\nown line one"),
+        (2, " padded boiler \nown line two"),
+    ])
+    out = {r["doc_id"]: r for r in
+           line_dedup(docs, min_doc_freq=3).collect()}
+    # trimmed forms match across docs -> all three occurrences removed
+    for i in range(3):
+        assert "boiler" not in out[i]["text_clean"]
+        assert out[i]["n_kept"] == 1
+
+
+# -------------------------------------------------------- anchor_text
+
+def test_anchor_extraction_and_rollup(spark):
+    from pears_lite_spark.sources import anchor_text_rollup, \
+        extract_anchors_df
+    html = ('<html><body>'
+            '<a href="/a">Home</a>'
+            '<a href="/a"><b>Home</b></a>'
+            '<a href="/a">Start Page</a>'
+            '<a href="/b">  About   Us </a>'
+            '<a href="https://other.example/x">Other</a>'
+            '</body></html>')
+    cdf = spark.createDataFrame(
+        [("https://s.example/p1", html),
+         ("https://s.example/p2", '<a href="/a">Home</a>')],
+        "url string, html string")
+    anchors = extract_anchors_df(cdf)
+    rows = anchors.collect()
+    # tag-stripped + whitespace-normalized anchor text
+    assert ("https://s.example/p1", "https://s.example/b", "About Us") in [
+        (r["url"], r["link"], r["anchor"]) for r in rows]
+    out = {r["link"]: r for r in anchor_text_rollup(anchors, 2).collect()}
+    a = out["https://s.example/a"]
+    assert a["n_anchors"] == 4 and a["n_distinct_anchors"] == 2
+    # top-2 by count desc then string: Home(3) | Start Page(1)
+    assert a["top_anchors"] == "Home|Start Page"
+    assert out["https://other.example/x"]["n_anchors"] == 1

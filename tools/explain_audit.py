@@ -255,6 +255,54 @@ def main(sf_dir: str):
     print(f"Hub adjacency splits {n_salts} ways in the per-iteration "
           f"join (salt in the join key; label rows replicated per "
           f"salt): {'OK' if ok12 else 'NO'}\n")
+    print("## 13. line_dedup: md5-keyed exchanges, map-side distinct, "
+          "no line text in the df shuffle\n")
+    from pears_lite_spark.dedup import line_dedup
+    lined = docs.withColumn(
+        "text", F.regexp_replace("text", r"((\S+\s+){9}\S+)\s", "$1\n"))
+    t = explain(line_dedup(lined, min_doc_freq=5))
+    exch = [ln.strip()[:110] for ln in t.splitlines()
+            if "Exchange" in ln and "Reused" not in ln]
+    partial_distinct = "partial_count(distinct" in t
+    reused = t.count("ReusedExchange")
+    print("```")
+    for ln in exch:
+        print(ln)
+    print(f"map-side partial distinct df aggregate: {partial_distinct}")
+    print(f"ReusedExchange nodes: {reused}")
+    print("```\n")
+    ok13 = partial_distinct and all("hashpartitioning" in e or
+                                    "SinglePartition" not in e for e in exch)
+    print(f"df aggregate combines map-side; every wide exchange is "
+          f"hash-keyed (md5 line key / doc_id), none single-partition: "
+          f"{'OK' if ok13 else 'NO'}\n")
+
+    print("## 14. anchor_text_rollup: celebrity targets collapse "
+          "map-side before the top-k window\n")
+    from pears_lite_spark.sources import anchor_text_rollup
+    anchors = spark.createDataFrame(
+        [(f"https://p{i}.example/", "https://hub.example/",
+          f"anchor {i % 40}") for i in range(2000)],
+        "url string, link string, anchor string")
+    t = explain(anchor_text_rollup(anchors))
+    pre = [ln.strip()[:110] for ln in t.splitlines()
+           if ln.strip().startswith("Functions") and "partial_" in ln]
+    exch14 = [ln.strip()[:110] for ln in t.splitlines()
+              if "hashpartitioning" in ln]
+    n_exch = sum(1 for ln in t.splitlines()
+                 if ln.strip().startswith("(") and ") Exchange" in ln)
+    print("```")
+    for ln in pre + exch14:
+        print(ln)
+    print(f"Exchange nodes: {n_exch} "
+          f"(the final link rollup reuses the window's partitioning)")
+    print("```\n")
+    ok14 = "partial_count(1)" in t and n_exch == 2
+    print(f"(link, anchor) pre-aggregate is partial before any "
+          f"exchange — a hub target linked from every page reduces to "
+          f"its distinct anchor strings per map task — and the top-k "
+          f"window + final rollup share one link-keyed exchange: "
+          f"{'OK' if ok14 else 'NO'}\n")
     spark.stop()
 
 
