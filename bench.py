@@ -374,6 +374,14 @@ def main():
         t0 = time.time()
         q_line_dedup(spark, sf_dir).count()
         queries_sec["line_dedup"] = round(time.time() - t0, 3)
+        from pears_lite_spark.functions.textstats import classifier_score
+        t0 = time.time()
+        classifier_score(docs_tbl).count()
+        queries_sec["classifier_score"] = round(time.time() - t0, 3)
+        from pears_lite_spark.functions.sampling import pack_sequences
+        t0 = time.time()
+        pack_sequences(docs_tbl, seq_len=2048).count()
+        queries_sec["pack_sequences"] = round(time.time() - t0, 3)
     finally:
         spark.stop()
 

@@ -542,6 +542,23 @@ def q_anchor_text(spark, sf_dir):
     return anchor_text_rollup(extract_anchors_df(cdf))
 
 
+def q_classifier_score(spark, sf_dir):
+    """Hashed-linear quality classifier (fastText/DCLM-style filter):
+    md5-bucket features, exact micro-unit logit sum, sigmoid score.
+    Stub weights are a pure arithmetic function of the bucket id, so
+    the DuckDB twin mirrors the whole pipeline including the hash."""
+    from .functions.textstats import classifier_score
+    return classifier_score(_docs(spark, sf_dir))
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Concat-then-chunk sequence packing into seq_len=256 windows:
+    global token cumsum in doc_id order via the two-phase bucket
+    cumsum; SQL twin is the single global window cumsum."""
+    from .functions.sampling import pack_sequences
+    return pack_sequences(_docs(spark, sf_dir), seq_len=256)
+
+
 def q_embedding_top10(spark, sf_dir):
     from .ann import brute_topk
     emb = _emb(spark, sf_dir)
@@ -1435,18 +1452,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "line_dedup": q_line_dedup,
         "anchor_text": q_anchor_text,
+        "classifier_score": q_classifier_score,
+        "pack_sequences": q_pack_sequences,
         "phrase_c6_scores": q_phrase_c6_scores,
         "ivf_pruned_top10": q_ivf_pruned_top10,
         "lsh_pruned_top10": q_lsh_pruned_top10,
         "media_features_real": q_media_features_real,
         "media_resize_real": q_media_resize_real,
         "stego_pod_import": q_stego_pod_import,
-        "span_dedup": q_span_dedup,
         "unigram_loglik": q_unigram_loglik,
         "ivf_pq_top10": q_ivf_pq_top10,
         "pagerank": q_pagerank,
         "dedup_clusters": q_dedup_clusters,
-        "sampled_corpus": q_sampled_corpus,
         "token_budget": q_token_budget,
         # -- headline BM25 queries: always fresh-green
         "bm25_top10": q_bm25_top10,
@@ -1468,6 +1485,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # re-verified in the committed full local run)
         "pdf_extract": q_pdf_extract,
         "link_extract": q_link_extract,
+        # displaced by classifier_score / pack_sequences: span_dedup
+        # (untouched this round; in-window line_dedup exercises the
+        # same explode->window->reassemble machinery) and
+        # sampled_corpus (untouched; in-window pack_sequences and
+        # token_budget cover the same hash-threshold + two-phase
+        # cumsum code paths)
+        "span_dedup": q_span_dedup,
+        "sampled_corpus": q_sampled_corpus,
         "tf_top_terms": q_tf_top_terms,
         "term_df": q_term_df,
         "corpus_stats": q_corpus_stats,
@@ -2008,6 +2033,38 @@ SELECT link, sum(cnt)::BIGINT AS n_anchors,
   string_agg(CASE WHEN r <= 3 THEN anchor END, '|' ORDER BY r)
     AS top_anchors
 FROM rk GROUP BY link""".replace("{path}", _fixture_links_corpus_parquet()),
+
+        "classifier_score": """
+WITH t AS (SELECT doc_id,
+    list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                x -> x <> '') AS w
+  FROM documents),
+s AS (SELECT doc_id, len(w)::BIGINT AS n,
+    coalesce(list_sum(list_transform(w, x ->
+      ((('0x' || substr(md5('0:' || x), 1, 8))::BIGINT % 4096)
+       * 1103515245 + 12345) % 2000001 - 1000000)), 0)::BIGINT AS logit
+  FROM t),
+m AS (SELECT doc_id, n, logit,
+    CASE WHEN n > 0 THEN logit / n / 1e6 ELSE 0.0 END AS mean
+  FROM s)
+SELECT doc_id, n AS n_tokens, logit AS logit_micro,
+  round(mean, 6) AS mean_logit_r,
+  round(1.0 / (1.0 + exp(-mean)), 6) AS score_r
+FROM m""",
+
+        "pack_sequences": """
+WITH t AS (SELECT doc_id,
+    len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS dl
+  FROM documents),
+c AS (SELECT doc_id, dl,
+    sum(dl) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)::BIGINT
+      AS cum
+  FROM t WHERE dl > 0)
+SELECT doc_id, dl AS n_tokens, (cum - dl) AS start_tok,
+  ((cum - dl) // 256)::BIGINT AS first_seq,
+  ((cum - 1) // 256)::BIGINT AS last_seq,
+  ((cum - 1) // 256 - (cum - dl) // 256 + 1)::BIGINT AS n_seqs
+FROM c""",
 
         "redact_pii": """
 WITH aug AS (SELECT doc_id,

@@ -130,3 +130,53 @@ def token_budget_take(docs_df: DataFrame, budget: int,
            .withColumn("cum_tokens", F.col("_tb_cum") + F.col("_tb_offset"))
            .drop("_tb_bucket", "_tb_cum", "_tb_offset"))
     return out.filter(F.col("cum_tokens") - F.col("dl") < budget)
+
+
+def pack_sequences(docs_df: DataFrame, seq_len: int,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   num_buckets: int = 64) -> DataFrame:
+    """Training-sequence packing, concat-then-chunk style (the GPT-line
+    recipe): conceptually concatenate all docs' tokens in id order and
+    cut the stream into fixed `seq_len` windows; report, per doc, the
+    half-open token span it occupies and the window range it lands in.
+    Deterministic in id order, so a re-run or resume packs identically.
+    Returns (doc_id, n_tokens, start_tok, first_seq, last_seq, n_seqs);
+    docs with zero tokens are dropped (they occupy no span).
+
+    Execution shape: the same two-phase cumsum as token_budget_take but
+    with a single global stream — one full-data shuffle on the id-range
+    bucket for the local window, per-bucket totals aggregated map-side,
+    offsets broadcast back. Bit-identical to a single global window
+    because integer addition reassociates exactly; parallelism is
+    O(num_buckets) instead of the 1 a global orderBy window would get.
+    """
+    dl = F.size(F.filter(F.split(F.col(text_col), " "),
+                         lambda x: x != ""))
+    base = (docs_df.withColumn("dl", dl.cast("long"))
+            .filter(F.col("dl") > 0)
+            .withColumn("_tb_bucket",
+                        _bucket_expr(docs_df, id_col, num_buckets)))
+
+    w_local = (Window.partitionBy("_tb_bucket").orderBy(id_col)
+               .rowsBetween(Window.unboundedPreceding, 0))
+    local = base.withColumn("_tb_cum", F.sum("dl").over(w_local))
+
+    partials = (base.groupBy("_tb_bucket")
+                .agg(F.sum("dl").alias("_tb_total")))
+    w_off = (Window.orderBy("_tb_bucket")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (partials
+               .withColumn("_tb_offset",
+                           F.coalesce(F.sum("_tb_total").over(w_off),
+                                      F.lit(0).cast("long")))
+               .drop("_tb_total"))
+
+    cum = F.col("_tb_cum") + F.col("_tb_offset")
+    start = (cum - F.col("dl")).alias("start_tok")
+    return (local.join(F.broadcast(offsets), "_tb_bucket")
+            .select(id_col, F.col("dl").alias("n_tokens"), start,
+                    F.floor((cum - F.col("dl")) / seq_len)
+                    .alias("first_seq"),
+                    F.floor((cum - 1) / seq_len).alias("last_seq"))
+            .withColumn("n_seqs",
+                        F.col("last_seq") - F.col("first_seq") + 1))

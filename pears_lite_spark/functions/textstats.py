@@ -241,6 +241,65 @@ def domain_stats(docs_df: DataFrame, url_col: str = "url",
                  F.count_distinct("lang").cast("long").alias("n_langs")))
 
 
+def classifier_score(docs_df: DataFrame, dim: int = 4096, seed: int = 0,
+                     weights_micro: list[int] | None = None,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Model-based quality filtering, fastText/DCLM-style: a linear
+    classifier over hashed bag-of-words features, the standard
+    learned-filter stage of a web-text pipeline. Per token: feature
+    bucket = md5-hash mod `dim`; the bucket's weight is added to the
+    doc's logit; score = sigmoid(mean logit). Returns (doc_id,
+    n_tokens, logit_micro, mean_logit_r, score_r).
+
+    Weights are integers in MICRO units (1e-6), summed exactly as
+    longs, so the distributed sum is bit-identical to any oracle
+    regardless of partitioning (the unigram_loglik fixed-point
+    pattern). Pass a real model via `weights_micro` (a dim-length
+    list, broadcast into the plan as an array literal — the model IS
+    the broadcast side); the default is a deterministic arithmetic
+    stub standing in for trained weights (no model ships in this
+    sandbox), with every piece of the real plumbing — hashing, lookup,
+    exact aggregation — live and oracle-checked.
+
+    Scale shape: zero shuffle — the whole computation is a per-row
+    fold over the token array (F.aggregate), whole-stage codegen,
+    nothing leaves the scan task."""
+    toks = F.filter(F.split(F.lower(F.coalesce(F.col(text_col),
+                                               F.lit(""))), r"\s+"),
+                    lambda x: x != "")
+    n = F.size(toks)
+
+    def bucket(t):
+        return F.conv(F.substring(
+            F.md5(F.concat_ws(":", F.lit(str(seed)), t)), 1, 8),
+            16, 10).cast("long") % dim
+
+    if weights_micro is not None:
+        if len(weights_micro) != dim:
+            raise ValueError(f"weights_micro must have length {dim}")
+        warr = F.array(*[F.lit(int(w)).cast("long")
+                         for w in weights_micro])
+
+        def weight(t):
+            return F.try_element_at(warr, (bucket(t) + 1).cast("int"))
+    else:
+        # deterministic stub: an LCG over the bucket id, mapped to
+        # [-1e6, 1e6] micro-units (i.e. weights in [-1, 1])
+        def weight(t):
+            return (bucket(t) * 1103515245 + 12345) % 2000001 - 1000000
+
+    logit = F.aggregate(toks, F.lit(0).cast("long"),
+                        lambda acc, t: acc + weight(t))
+    mean = F.when(n > 0, logit / n / 1e6).otherwise(F.lit(0.0))
+    return docs_df.select(
+        id_col, n.cast("long").alias("n_tokens"),
+        logit.cast("long").alias("logit_micro"),
+        F.round(mean, 6).alias("mean_logit_r"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-mean)), 6)
+        .alias("score_r"))
+
+
 def unigram_loglik(docs_df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:
     """LM-based quality signal (the CCNet/Wikipedia-LM filter pattern,

@@ -181,3 +181,76 @@ def test_anchor_extraction_and_rollup(spark):
     # top-2 by count desc then string: Home(3) | Start Page(1)
     assert a["top_anchors"] == "Home|Start Page"
     assert out["https://other.example/x"]["n_anchors"] == 1
+
+
+# --------------------------------------------------- classifier_score
+
+def test_classifier_score_exact_and_weights_path(spark):
+    from pears_lite_spark.functions.textstats import classifier_score
+    docs = _docs(spark, [(0, "alpha beta alpha"), (1, ""), (2, None)])
+    out = {r["doc_id"]: r for r in classifier_score(docs).collect()}
+    # exact integer logit: repeated token contributes twice
+    import hashlib
+    def stub_w(tok, dim=4096, seed=0):
+        b = int(hashlib.md5(f"{seed}:{tok}".encode()).hexdigest()[:8],
+                16) % dim
+        return (b * 1103515245 + 12345) % 2000001 - 1000000
+    assert out[0]["logit_micro"] == 2 * stub_w("alpha") + stub_w("beta")
+    assert out[1]["n_tokens"] == 0 and out[1]["score_r"] == 0.5
+    assert out[2]["logit_micro"] == 0  # null text
+    # explicit-weights path: all-ones model scores every token 1.0
+    ones = [1_000_000] * 16
+    out2 = classifier_score(_docs(spark, [(0, "x y z")]),
+                            dim=16, weights_micro=ones).collect()[0]
+    assert out2["logit_micro"] == 3_000_000
+    assert out2["mean_logit_r"] == 1.0
+
+
+def test_classifier_score_partitioning_invariant(spark):
+    from pears_lite_spark.functions.textstats import classifier_score
+    rows = [(i, f"tok{i} tok{i%7} shared words here") for i in range(64)]
+    a = classifier_score(_docs(spark, rows)).orderBy("doc_id").collect()
+    b = classifier_score(_docs(spark, rows).repartition(13)) \
+        .orderBy("doc_id").collect()
+    assert [r["logit_micro"] for r in a] == [r["logit_micro"] for r in b]
+
+
+# ---------------------------------------------------- pack_sequences
+
+def test_pack_sequences_spans_and_windows(spark):
+    from pears_lite_spark.functions.sampling import pack_sequences
+    docs = _docs(spark, [
+        (0, " ".join(["w"] * 10)),   # tokens [0, 10)
+        (1, " ".join(["w"] * 3)),    # tokens [10, 13)
+        (2, ""),                     # dropped
+        (3, " ".join(["w"] * 12)),   # tokens [13, 25)
+    ])
+    out = {r["doc_id"]: r for r in
+           pack_sequences(docs, seq_len=8).collect()}
+    assert 2 not in out
+    assert (out[0]["start_tok"], out[0]["first_seq"],
+            out[0]["last_seq"], out[0]["n_seqs"]) == (0, 0, 1, 2)
+    assert (out[1]["start_tok"], out[1]["first_seq"],
+            out[1]["last_seq"]) == (10, 1, 1)
+    assert (out[3]["start_tok"], out[3]["first_seq"],
+            out[3]["last_seq"], out[3]["n_seqs"]) == (13, 1, 3, 3)
+
+
+def test_pack_sequences_matches_single_window(spark):
+    # the two-phase bucket cumsum must be bit-identical to the naive
+    # global-window form, independent of bucketing/partitioning
+    from pears_lite_spark.functions.sampling import pack_sequences
+    rows = [(i * 7 % 101, f"{'t ' * (i % 9 + 1)}") for i in range(101)]
+    docs = _docs(spark, rows).repartition(11)
+    got = pack_sequences(docs, seq_len=16, num_buckets=5) \
+        .orderBy("doc_id").collect()
+    import itertools
+    exp_cum = 0
+    exp = {}
+    for did, text in sorted(rows):
+        n = len(text.split())
+        exp_cum += n
+        exp[did] = (exp_cum - n, (exp_cum - n) // 16, (exp_cum - 1) // 16)
+    for r in got:
+        e = exp[r["doc_id"]]
+        assert (r["start_tok"], r["first_seq"], r["last_seq"]) == e

@@ -303,6 +303,25 @@ def main(sf_dir: str):
           f"its distinct anchor strings per map task — and the top-k "
           f"window + final rollup share one link-keyed exchange: "
           f"{'OK' if ok14 else 'NO'}\n")
+    print("## 15. pack_sequences: global cumsum splits across id-range "
+          "buckets\n")
+    from pears_lite_spark.functions.sampling import pack_sequences
+    t = explain(pack_sequences(docs, seq_len=2048))
+    parts = [ln.strip()[:110] for ln in t.splitlines()
+             if "hashpartitioning(_tb_bucket" in ln]
+    single = [ln.strip()[:110] for ln in t.splitlines()
+              if "SinglePartition" in ln]
+    print("```")
+    for ln in parts[:2]:
+        print(ln)
+    print(f"SinglePartition exchanges: {len(single)} "
+          f"(only the <= num_buckets offset rows, never data rows)")
+    print("```\n")
+    ok15 = bool(parts)
+    print(f"Full corpus rows shuffle on the id-range bucket — the "
+          f"global token cumsum parallelizes O(num_buckets) instead of "
+          f"one task, and the offsets branch touches only per-bucket "
+          f"totals: {'OK' if ok15 else 'NO'}\n")
     spark.stop()
 
 
