@@ -248,26 +248,39 @@ def main():
         low = int(os.environ.get("PEARS_SCALE_LOW", "2"))
         high = int(os.environ.get("PEARS_SCALE_HIGH", str(4 * low)))
         reps = int(os.environ.get("PEARS_BENCH_REPEATS", "2"))
-        # best-of-N per level: CPU boost clocks make single runs noisy
-        t_lo = min(timed_build(low, cpath, f"low{low}_{r}")[0]
-                   for r in range(reps))
-        t_hi = min(timed_build(high, cpath, f"sc{high}_{r}")[0]
-                   for r in range(reps))
+        # Tenancy drift protocol: (a) ALTERNATE low/high legs so a
+        # degraded-host burst hits both levels instead of silently
+        # poisoning whichever level happened to run inside it (observed:
+        # an 8-core leg 1.5x slower between same-day samples while the
+        # 2-core legs matched to 1%); (b) measure the hardware ceiling
+        # immediately BEFORE and AFTER the legs so mid-run drift is
+        # visible in the recorded file, and normalize against the
+        # CLEANER (higher) of the two — the conservative reading.
+        ceil_pre = hardware_ceiling(low, high)
+        t_los, t_his = [], []
+        for r in range(reps):
+            t_los.append(timed_build(low, cpath, f"low{low}_{r}")[0])
+            t_his.append(timed_build(high, cpath, f"sc{high}_{r}")[0])
+        t_lo, t_hi = min(t_los), min(t_his)
+        ceil_post = hardware_ceiling(low, high)
         queries_sec[f"index_build_{low}core"] = round(t_lo, 3)
         queries_sec[f"index_build_{high}core"] = round(t_hi, 3)
         thr_low = built_docs / t_lo
         thr_hi = built_docs / t_hi
         eff = thr_hi / ((high / low) * thr_low)
-        ceil_eff = hardware_ceiling(low, high)
+        ceil_eff = max(ceil_pre, ceil_post)
         scaling = {"cores_low": low, "cores_high": high,
                    "throughput_low": round(thr_low, 1),
                    "throughput_high": round(thr_hi, 1),
                    "efficiency": round(eff, 3),
                    "hardware_ceiling": round(ceil_eff, 3),
+                   "hardware_ceiling_pre": round(ceil_pre, 3),
+                   "hardware_ceiling_post": round(ceil_post, 3),
                    "efficiency_vs_ceiling": round(min(1.0, eff / ceil_eff), 3)}
         log(f"scaling {low}->{high}: {thr_low:.0f} -> {thr_hi:.0f} docs/s, "
-            f"eff={eff:.2f} (host ceiling {ceil_eff:.2f} -> "
-            f"normalized {eff / ceil_eff:.2f})")
+            f"eff={eff:.2f} (host ceiling pre/post "
+            f"{ceil_pre:.2f}/{ceil_post:.2f} -> normalized "
+            f"{eff / ceil_eff:.2f})")
 
     # ---- phase 3: query serving over the built index
     from pears_lite_spark.corpus import gen_corpus, gen_query_set

@@ -203,15 +203,19 @@ def cmd_ann_index(args) -> int:
 
 def cmd_pipeline(args) -> int:
     """End-to-end training-data pipeline: corpus -> extract ->
-    [sample] -> quality filter [-> LM-loglik filter] -> exact +
-    MinHash-LSH dedup [-> span dedup] -> block index. One declarative
-    plan per stage; every stage is the same operator the contract
-    checks; the bracketed stages are opt-in flags."""
-    from .dedup import (exact_dedup, jaccard_pairs, lsh_candidate_pairs,
-                        span_dedup)
+    [sample] -> quality filter [-> Gopher rule suite] [-> LM-loglik
+    filter] [-> classifier filter] [-> benchmark decontamination] ->
+    exact + MinHash-LSH dedup [-> span dedup] [-> line dedup] -> block
+    index. One declarative plan per stage; every stage is the same
+    operator the contract checks; the bracketed stages are opt-in
+    flags."""
+    from .dedup import (exact_dedup, jaccard_pairs, line_dedup,
+                        lsh_candidate_pairs, span_dedup)
+    from .functions.decontam import ngram_contamination
     from .functions.extract import extract_df
     from .functions.sampling import deterministic_sample
-    from .functions.textstats import quality_scores, unigram_loglik
+    from .functions.textstats import (classifier_score, gopher_rules,
+                                      quality_scores, unigram_loglik)
     from .index.build import (build_postings, tokenize_spm,
                               tokenize_whitespace, with_doc_id, write_index)
     from pyspark.sql import functions as F
@@ -232,11 +236,35 @@ def cmd_pipeline(args) -> int:
     kept_ids = q.filter(F.col("quality") >= args.min_quality) \
                 .select("doc_id")
     docs_q = docs.join(kept_ids, "doc_id", "left_semi")
+    if args.gopher:
+        g_ids = (gopher_rules(docs_q, min_words=args.gopher_min_words)
+                 .filter(F.col("pass_gopher")).select("doc_id"))
+        docs_q = docs_q.join(g_ids, "doc_id", "left_semi")
     if args.min_loglik is not None:
         ll_ids = (unigram_loglik(docs_q)
                   .filter(F.col("avg_logprob") >= args.min_loglik)
                   .select("doc_id"))
         docs_q = docs_q.join(ll_ids, "doc_id", "left_semi")
+    if args.min_classifier_score is not None:
+        c_ids = (classifier_score(docs_q)
+                 .filter(F.col("score_r") >= args.min_classifier_score)
+                 .select("doc_id"))
+        docs_q = docs_q.join(c_ids, "doc_id", "left_semi")
+    if args.decontam_benchmarks is not None:
+        bench = spark.read.parquet(args.decontam_benchmarks)
+        bad = (ngram_contamination(docs_q, bench, n=args.decontam_n)
+               .filter(F.col("contaminated")).select("doc_id"))
+        docs_q = docs_q.join(bad, "doc_id", "left_anti")
+    # Stage barrier: each gate above is docs_q.join(f(docs_q), ...),
+    # so the logical plan DOUBLES per gate, and the dedup stages below
+    # reference their input 3-4x more — left unchecked the analyzer
+    # cost goes exponential in stage count (observed: Catalyst hung
+    # analyzing the line_dedup join with all gates on). Truncate
+    # lineage here and between the rewrite stages; at cluster scale
+    # these are exactly the materialization barriers a multi-stage
+    # corpus pipeline wants anyway (swap localCheckpoint for a
+    # checkpoint dir / staging parquet on a real deployment).
+    docs_q = docs_q.localCheckpoint()
     # exact dedup, then near-dup removal (keep lowest doc_id of a pair)
     docs_d = exact_dedup(docs_q)
     cands = lsh_candidate_pairs(docs_d, num_hashes=args.minhash_k,
@@ -245,10 +273,20 @@ def cmd_pipeline(args) -> int:
                          threshold=args.jaccard_threshold)
     drop = near.select(F.col("doc_b").alias("doc_id")).distinct()
     clean = docs_d.join(drop, "doc_id", "left_anti")
+    if args.span_dedup or args.line_dedup:
+        clean = clean.localCheckpoint()
     if args.span_dedup:
         # cross-doc boilerplate removal; re-key text to the cleaned form
         clean = (clean.drop("text")
                  .join(span_dedup(clean, k=args.span_k)
+                       .select("doc_id",
+                               F.col("text_clean").alias("text")),
+                       "doc_id"))
+    if args.line_dedup:
+        if args.span_dedup:  # re-truncate after the span rewrite join
+            clean = clean.localCheckpoint()
+        clean = (clean.drop("text")
+                 .join(line_dedup(clean, min_doc_freq=args.line_min_df)
                        .select("doc_id",
                                F.col("text_clean").alias("text")),
                        "doc_id"))
@@ -344,6 +382,18 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--span-dedup", action="store_true",
                     help="cross-doc duplicate-span removal before indexing")
     pl.add_argument("--span-k", type=int, default=12)
+    pl.add_argument("--gopher", action="store_true",
+                    help="apply the Gopher quality rule suite")
+    pl.add_argument("--gopher-min-words", type=int, default=50)
+    pl.add_argument("--min-classifier-score", type=float, default=None,
+                    help="hashed-linear classifier sigmoid-score floor")
+    pl.add_argument("--decontam-benchmarks", default=None,
+                    help="parquet of benchmark texts; docs sharing an "
+                         "n-gram are dropped")
+    pl.add_argument("--decontam-n", type=int, default=13)
+    pl.add_argument("--line-dedup", action="store_true",
+                    help="corpus-frequency boilerplate line removal")
+    pl.add_argument("--line-min-df", type=int, default=5)
     pl.set_defaults(fn=cmd_pipeline)
 
     args = p.parse_args(argv)
