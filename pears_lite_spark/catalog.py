@@ -1,0 +1,188 @@
+"""Minimal Iceberg-style snapshot catalog over parquet.
+
+The north rule frames the corpus as "Iceberg tables of Common-Crawl-
+style web pages"; pyiceberg is not in this sandbox, so this module
+implements the load-bearing subset of the public Iceberg table-format
+ideas (spec at iceberg.apache.org/spec) from scratch, self-contained:
+
+  * a table is an immutable set of parquet DATA FILES plus a totally
+    ordered SNAPSHOT LOG (`metadata/v{N}.json`); every snapshot lists
+    its data files and delete files explicitly — readers never
+    list-and-glob the data directory, so concurrent writers and dirty
+    files are invisible to them;
+  * APPEND commits new files and re-references the old ones — no
+    rewrite-the-world (the reference rebuilds its whole index per
+    insert: `/root/reference/app/indexer/posix.py:17-28`);
+  * row-level DELETE is merge-on-read via EQUALITY DELETE FILES: a
+    delete commit writes only the matched key values; scans subtract
+    them with a broadcast anti-join. Data files are untouched;
+  * COMPACT rewrites the live rows into fresh data files and drops the
+    accumulated delete files — Iceberg's rewrite-data-files action;
+  * TIME TRAVEL: any historical version remains readable because
+    snapshots only ever ADD files and metadata is never mutated.
+
+Commit protocol: write `v{N}.json`, then atomically flip the `VERSION`
+pointer file (`os.replace`). Single-writer is assumed — a real
+deployment swaps this pointer flip for the catalog's atomic
+compare-and-swap (which is exactly the role a catalog service plays
+for Iceberg proper).
+
+Scale shape: metadata is O(files) JSON on the driver — fine up to the
+many-thousands-of-files range of a 100 TB table partition (beyond
+that, real Iceberg tiers manifests; noted, not needed here). Scans
+pass the explicit file list to the parquet source, so column pruning
+and predicate pushdown work unchanged; the delete side is keys-only
+and broadcast, so a scan with deletes shuffles nothing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_META = "metadata"
+_VERSION_FILE = "VERSION"
+
+
+# ------------------------------------------------------------ metadata IO
+
+def _meta_dir(path: str) -> str:
+    return os.path.join(path, _META)
+
+
+def current_version(path: str) -> int:
+    with open(os.path.join(_meta_dir(path), _VERSION_FILE),
+              encoding="utf-8") as fh:
+        return int(fh.read().strip())
+
+
+def _read_snapshot(path: str, version: int) -> dict:
+    with open(os.path.join(_meta_dir(path), f"v{version}.json"),
+              encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def history(path: str) -> list[dict]:
+    """All snapshots, oldest first (the Iceberg snapshot log)."""
+    return [_read_snapshot(path, v)
+            for v in range(1, current_version(path) + 1)]
+
+
+def _commit(path: str, snap: dict) -> None:
+    """Write v{N}.json, then atomically flip the VERSION pointer."""
+    md = _meta_dir(path)
+    with open(os.path.join(md, f"v{snap['version']}.json"), "w",
+              encoding="utf-8") as fh:
+        json.dump(snap, fh, indent=1, sort_keys=True)
+    tmp = os.path.join(md, f".{_VERSION_FILE}.{uuid.uuid4().hex}")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(str(snap["version"]))
+    os.replace(tmp, os.path.join(md, _VERSION_FILE))
+
+
+def _write_data_files(df: DataFrame, path: str, snap_version: int,
+                      subdir: str = "data") -> list[str]:
+    """Write df as parquet under an immutable per-snapshot directory
+    and return the RELATIVE file paths to register in the snapshot."""
+    rel_dir = os.path.join(subdir, f"snap-{snap_version}")
+    out = os.path.join(path, rel_dir)
+    df.write.mode("error").parquet(out)
+    return sorted(
+        os.path.join(rel_dir, f) for f in os.listdir(out)
+        if f.endswith(".parquet"))
+
+
+def _abs(path: str, rels: list[str]) -> list[str]:
+    return [os.path.join(path, r) for r in rels]
+
+
+# ------------------------------------------------------------ operations
+
+def create_table(df: DataFrame, path: str, key_col: str) -> dict:
+    """v1 snapshot from `df`. `key_col` is the equality-delete key
+    (must be unique per row for delete semantics to be row-level)."""
+    os.makedirs(_meta_dir(path), exist_ok=False)
+    files = _write_data_files(df, path, 1)
+    snap = {"version": 1, "parent": None, "operation": "create",
+            "key_col": key_col, "schema": df.schema.simpleString(),
+            "data_files": files, "delete_files": [],
+            "summary": {"added_files": len(files)}}
+    _commit(path, snap)
+    return snap
+
+
+def append(df: DataFrame, path: str) -> dict:
+    """New snapshot = parent's files + newly written ones (no rewrite)."""
+    parent = _read_snapshot(path, current_version(path))
+    v = parent["version"] + 1
+    files = _write_data_files(df, path, v)
+    snap = {"version": v, "parent": parent["version"],
+            "operation": "append", "key_col": parent["key_col"],
+            "schema": parent["schema"],
+            "data_files": parent["data_files"] + files,
+            "delete_files": parent["delete_files"],
+            "summary": {"added_files": len(files)}}
+    _commit(path, snap)
+    return snap
+
+
+def delete_where(spark: SparkSession, path: str, predicate) -> dict:
+    """Merge-on-read row delete: write an equality-delete file holding
+    the key values of currently-live rows matching `predicate` (a SQL
+    string or Column). Data files are untouched."""
+    parent = _read_snapshot(path, current_version(path))
+    key = parent["key_col"]
+    v = parent["version"] + 1
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    keys = scan(spark, path).filter(pred).select(key).distinct()
+    files = _write_data_files(keys, path, v, subdir="deletes")
+    snap = {"version": v, "parent": parent["version"],
+            "operation": "delete", "key_col": key,
+            "schema": parent["schema"],
+            "data_files": parent["data_files"],
+            "delete_files": parent["delete_files"] + files,
+            "summary": {"added_delete_files": len(files)}}
+    _commit(path, snap)
+    return snap
+
+
+def scan(spark: SparkSession, path: str,
+         version: int | None = None) -> DataFrame:
+    """Read a snapshot (default: current). Data files are passed as an
+    explicit list — pushdown and pruning apply as on any parquet scan —
+    and equality-delete keys are subtracted with a broadcast anti-join
+    (keys-only, no data-row shuffle)."""
+    snap = _read_snapshot(path, version or current_version(path))
+    df = spark.read.parquet(*_abs(path, snap["data_files"]))
+    if snap["delete_files"]:
+        # no distinct(): each delete file holds distinct keys already,
+        # anti-join semantics ignore right-side duplicates across
+        # files, and a distinct here would cost a (keys) exchange
+        dels = spark.read.parquet(*_abs(path, snap["delete_files"]))
+        df = df.join(F.broadcast(dels), snap["key_col"], "left_anti")
+    return df
+
+
+def compact(spark: SparkSession, path: str) -> dict:
+    """Rewrite live rows into fresh data files and drop delete files
+    (Iceberg's rewrite-data-files maintenance action). Old snapshots
+    stay readable — their files are still on disk and still listed in
+    their own metadata."""
+    parent = _read_snapshot(path, current_version(path))
+    v = parent["version"] + 1
+    files = _write_data_files(scan(spark, path), path, v)
+    snap = {"version": v, "parent": parent["version"],
+            "operation": "compact", "key_col": parent["key_col"],
+            "schema": parent["schema"],
+            "data_files": files, "delete_files": [],
+            "summary": {"rewritten_files": len(files),
+                        "dropped_delete_files": len(parent["delete_files"])}}
+    _commit(path, snap)
+    return snap
+
+
+def is_table(path: str) -> bool:
+    return os.path.isfile(os.path.join(_meta_dir(path), _VERSION_FILE))

@@ -920,6 +920,60 @@ def q_delete_rebuild(spark, sf_dir):
             .orderBy(F.desc("df"), F.asc("term")).limit(50))
 
 
+def _fixture_table(spark, sf_dir, name: str, do_delete=True,
+                   do_compact=False) -> str:
+    """Provision an Iceberg-style snapshot table (catalog.py) from the
+    sf documents, split into two appends, optionally with a
+    merge-on-read delete (doc_id % 10 = 0) and a compaction. Rebuilt
+    from scratch on every call so the query is deterministic whichever
+    order the driver runs things in."""
+    import os
+    import shutil
+    import tempfile
+    from . import catalog
+    path = os.path.join(tempfile.gettempdir(),
+                        f"pears_tbl_{name}_{abs(hash(sf_dir)) % 10**8}")
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    docs = _docs(spark, sf_dir)
+    catalog.create_table(docs.filter(F.col("doc_id") % 2 == 0), path,
+                         key_col="doc_id")
+    catalog.append(docs.filter(F.col("doc_id") % 2 != 0), path)
+    if do_delete:
+        catalog.delete_where(spark, path, "doc_id % 10 = 0")
+    if do_compact:
+        catalog.compact(spark, path)
+    return path
+
+
+def q_table_scan_deletes(spark, sf_dir):
+    """Iceberg-style snapshot table: create + append + merge-on-read
+    equality delete, then scan — live rows only, no data-file rewrite
+    (catalog.py; supersedes the reference's destructive delete loop,
+    `api/controllers.py:62-106`)."""
+    from . import catalog
+    path = _fixture_table(spark, sf_dir, "scan")
+    return catalog.scan(spark, path).select("doc_id", "lang", "n_chars")
+
+
+def q_table_time_travel(spark, sf_dir):
+    """Time travel: after the delete commit, version 2 (pre-delete)
+    still reads the full append snapshot."""
+    from . import catalog
+    path = _fixture_table(spark, sf_dir, "tt")
+    return catalog.scan(spark, path, version=2).select("doc_id",
+                                                       "n_chars")
+
+
+def q_table_compact_scan(spark, sf_dir):
+    """Compaction (rewrite-data-files): applies standing deletes and
+    drops delete files; the scan is value-identical to the pre-compact
+    live set."""
+    from . import catalog
+    path = _fixture_table(spark, sf_dir, "cmp", do_compact=True)
+    return catalog.scan(spark, path).select("doc_id", "lang", "n_chars")
+
+
 def q_snippets(spark, sf_dir):
     """P8: snippet projection — first 300 chars, ',' -> '-'
     (`htmlparser.py:109`)."""
@@ -1517,6 +1571,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "pod_top_terms": q_pod_top_terms,
         "events_hourly": q_events_hourly,
+        # -- appended past the window (local-run evidence this round;
+        #    rotate into the driver window next round): snapshot-
+        #    catalog ops over the documents table
+        "table_scan_deletes": q_table_scan_deletes,
+        "table_time_travel": q_table_time_travel,
+        "table_compact_scan": q_table_compact_scan,
     }
 
 
@@ -2683,4 +2743,18 @@ SELECT 'people.csv#row [' || (row_number() OVER (
                       'notes: ' || coalesce(notes, '') || '.') AS text
 FROM read_csv('{path}', delim=';', header=true)""".format(
             path=_fixture_csv_file()),
+
+        # snapshot-catalog queries: the table is provisioned FROM the
+        # documents table, so the oracle is plain relational algebra
+        # over it — deletes are doc_id % 10 = 0, time travel reads the
+        # pre-delete snapshot, compaction is value-identical to the
+        # live scan
+        "table_scan_deletes": """
+SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 10 <> 0""",
+
+        "table_time_travel": """
+SELECT doc_id, n_chars FROM documents""",
+
+        "table_compact_scan": """
+SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 10 <> 0""",
     }

@@ -42,13 +42,23 @@ def _emit(obj: dict) -> None:
     print(json.dumps(obj), flush=True)
 
 
+def _read_corpus(spark, path: str):
+    """Corpus input: an Iceberg-style snapshot table (metadata/VERSION
+    present -> catalog.scan, which honors row-level deletes) or a plain
+    parquet path."""
+    from . import catalog
+    if catalog.is_table(path):
+        return catalog.scan(spark, path)
+    return spark.read.parquet(path)
+
+
 def _load_corpus_tokens(spark, path: str, tokenizer: str):
     """Corpus parquet -> (doc_id, tokens). Accepts either the input-hint
     schema (url, warc_ts, html, text, lang) — html is extracted+tokenized
     in one Arrow pass — or a pre-extracted (doc_id|url, text) table."""
     from .index.build import ingest_tokens, tokenize_spm, \
         tokenize_whitespace, with_doc_id
-    df = spark.read.parquet(path)
+    df = _read_corpus(spark, path)
     cols = set(df.columns)
     if "html" in cols:
         return ingest_tokens(df, tokenizer=tokenizer).select(
@@ -66,7 +76,7 @@ def cmd_build(args) -> int:
     t0 = time.time()
     # html corpora take the fused build (below); resume + pre-extracted
     # tables go through the tokens path
-    has_html = "html" in spark.read.parquet(args.input).columns
+    has_html = "html" in _read_corpus(spark, args.input).columns
     tokens = None if (has_html and not args.resume) else \
         _load_corpus_tokens(spark, args.input, args.tokenizer)
     if args.resume:
@@ -81,7 +91,7 @@ def cmd_build(args) -> int:
                                   write_index)
         if tokens is None:  # html corpus: fused single-pass build
             postings, stats = build_from_corpus(
-                spark.read.parquet(args.input), tokenizer=args.tokenizer,
+                _read_corpus(spark, args.input), tokenizer=args.tokenizer,
                 with_positions=not args.no_positions)
         else:
             postings, stats = build_postings(
@@ -201,6 +211,40 @@ def cmd_ann_index(args) -> int:
     return 0
 
 
+def cmd_table(args) -> int:
+    """Maintain an Iceberg-style snapshot table (see catalog.py):
+    create / append / delete / compact / history. `build` and
+    `pipeline` accept a table path as --input directly (deletes are
+    honored at scan time)."""
+    from . import catalog
+    spark = _spark("pears-table")
+    t0 = time.time()
+    if args.op == "create":
+        snap = catalog.create_table(spark.read.parquet(args.input),
+                                    args.path, key_col=args.key)
+    elif args.op == "append":
+        snap = catalog.append(spark.read.parquet(args.input), args.path)
+    elif args.op == "delete":
+        snap = catalog.delete_where(spark, args.path, args.predicate)
+    elif args.op == "compact":
+        snap = catalog.compact(spark, args.path)
+    else:  # history
+        hist = catalog.history(args.path)
+        _emit({"job": "table", "op": "history", "path": args.path,
+               "versions": [{k: s[k] for k in
+                             ("version", "operation", "summary")}
+                            for s in hist],
+               "seconds": round(time.time() - t0, 2)})
+        return 0
+    n_live = catalog.scan(spark, args.path).count()
+    _emit({"job": "table", "op": args.op, "path": args.path,
+           "version": snap["version"], "n_live_rows": int(n_live),
+           "n_data_files": len(snap["data_files"]),
+           "n_delete_files": len(snap["delete_files"]),
+           "seconds": round(time.time() - t0, 2)})
+    return 0
+
+
 def cmd_pipeline(args) -> int:
     """End-to-end training-data pipeline: corpus -> extract ->
     [sample] -> quality filter [-> Gopher rule suite] [-> LM-loglik
@@ -221,7 +265,7 @@ def cmd_pipeline(args) -> int:
     from pyspark.sql import functions as F
     spark = _spark("pears-pipeline")
     t0 = time.time()
-    corpus = spark.read.parquet(args.input)
+    corpus = _read_corpus(spark, args.input)
     docs = corpus
     if "html" in corpus.columns:
         docs = extract_df(corpus)
@@ -395,6 +439,20 @@ def main(argv: list[str] | None = None) -> int:
                     help="corpus-frequency boilerplate line removal")
     pl.add_argument("--line-min-df", type=int, default=5)
     pl.set_defaults(fn=cmd_pipeline)
+
+    tb = sub.add_parser("table",
+                        help="Iceberg-style snapshot table maintenance")
+    tb.add_argument("--op", required=True,
+                    choices=["create", "append", "delete", "compact",
+                             "history"])
+    tb.add_argument("--path", required=True, help="table root dir")
+    tb.add_argument("--input", default=None,
+                    help="parquet to load (create/append)")
+    tb.add_argument("--key", default="url",
+                    help="equality-delete key column (create)")
+    tb.add_argument("--predicate", default=None,
+                    help="SQL predicate for --op delete")
+    tb.set_defaults(fn=cmd_table)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -1,0 +1,160 @@
+"""Snapshot-catalog semantics: append without rewrite, merge-on-read
+equality deletes, time travel, compaction equivalence, atomic commit
+pointer, and the jobs-CLI `table` surface feeding `build`.
+
+Mirrors the behaviors the reference implements destructively (full
+index rewrite per insert, `/root/reference/app/indexer/posix.py:17-28`;
+delete-and-renumber, `app/api/controllers.py:62-106`) as non-mutating
+snapshot commits.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pears_lite_spark import catalog
+
+
+@pytest.fixture()
+def docs_pdf():
+    from pears_lite_spark.corpus import gen_corpus
+    pdf = gen_corpus(40)
+    return pdf[["url", "text", "lang"]]
+
+
+def _ids(df):
+    return sorted(r["url"] for r in df.select("url").collect())
+
+
+def test_create_append_delete_compact_roundtrip(spark, docs_pdf, tmp_path):
+    t = str(tmp_path / "tbl")
+    d1 = spark.createDataFrame(docs_pdf.iloc[:25])
+    d2 = spark.createDataFrame(docs_pdf.iloc[25:])
+
+    snap1 = catalog.create_table(d1, t, key_col="url")
+    assert snap1["version"] == 1
+    assert _ids(catalog.scan(spark, t)) == _ids(d1)
+
+    snap2 = catalog.append(d2, t)
+    # append re-references v1's files — nothing rewritten
+    assert set(snap1["data_files"]) <= set(snap2["data_files"])
+    assert _ids(catalog.scan(spark, t)) == sorted(docs_pdf["url"])
+
+    catalog.delete_where(spark, t, "lang <> 'en'")
+    live = catalog.scan(spark, t)
+    assert live.filter(F.col("lang") != "en").count() == 0
+    want = sorted(docs_pdf.loc[docs_pdf["lang"] == "en", "url"])
+    assert _ids(live) == want
+    # merge-on-read: the delete touched no data file
+    snap3 = catalog._read_snapshot(t, 3)
+    assert snap3["data_files"] == snap2["data_files"]
+    assert len(snap3["delete_files"]) > 0
+
+    # compaction rewrites live rows and drops delete files; the scan
+    # result is value-identical
+    before = sorted(map(tuple, catalog.scan(spark, t).collect()))
+    snap4 = catalog.compact(spark, t)
+    assert snap4["delete_files"] == []
+    after = sorted(map(tuple, catalog.scan(spark, t).collect()))
+    assert before == after
+
+
+def test_time_travel_and_history(spark, docs_pdf, tmp_path):
+    t = str(tmp_path / "tt")
+    catalog.create_table(spark.createDataFrame(docs_pdf.iloc[:30]), t,
+                         key_col="url")
+    catalog.delete_where(spark, t, "lang <> 'en'")
+    # v1 still reads the full pre-delete snapshot
+    assert catalog.scan(spark, t, version=1).count() == 30
+    assert catalog.scan(spark, t).count() == \
+        int((docs_pdf.iloc[:30]["lang"] == "en").sum())
+    ops = [s["operation"] for s in catalog.history(t)]
+    assert ops == ["create", "delete"]
+
+
+def test_version_pointer_is_single_source_of_truth(spark, docs_pdf,
+                                                   tmp_path):
+    """A v{N}.json without the pointer flip must be invisible —
+    readers follow VERSION, never directory listings."""
+    t = str(tmp_path / "ptr")
+    catalog.create_table(spark.createDataFrame(docs_pdf.iloc[:10]), t,
+                         key_col="url")
+    # simulate a torn commit: metadata file exists, pointer not flipped
+    orphan = {"version": 2, "parent": 1, "operation": "append",
+              "key_col": "url", "schema": "x", "data_files": ["nope"],
+              "delete_files": [], "summary": {}}
+    with open(os.path.join(t, "metadata", "v2.json"), "w") as fh:
+        json.dump(orphan, fh)
+    assert catalog.current_version(t) == 1
+    assert catalog.scan(spark, t).count() == 10
+
+
+def test_delete_key_semantics_are_row_level(spark, tmp_path):
+    """Equality delete removes exactly the keyed rows, including ones
+    appended AFTER the delete is committed? No — Iceberg equality
+    deletes apply to the snapshot they were committed against and all
+    later reads of those files; a re-appended key IS visible again
+    only after compaction clears the delete file. We implement the
+    simpler always-applied form and assert it explicitly."""
+    t = str(tmp_path / "keys")
+    rows = [("u1", 1), ("u2", 2), ("u3", 3)]
+    catalog.create_table(spark.createDataFrame(rows, "url string, v int"),
+                         t, key_col="url")
+    catalog.delete_where(spark, t, "url = 'u2'")
+    assert _ids(catalog.scan(spark, t)) == ["u1", "u3"]
+    # re-append the deleted key: the standing equality-delete file
+    # still masks it (documented always-applied semantics)
+    catalog.append(spark.createDataFrame([("u2", 9)],
+                                         "url string, v int"), t)
+    assert _ids(catalog.scan(spark, t)) == ["u1", "u3"]
+    # compaction clears delete files; a fresh append then surfaces
+    catalog.compact(spark, t)
+    catalog.append(spark.createDataFrame([("u2", 9)],
+                                         "url string, v int"), t)
+    assert _ids(catalog.scan(spark, t)) == ["u1", "u2", "u3"]
+
+
+def test_scan_has_no_shuffle_for_deletes(spark, docs_pdf, tmp_path):
+    """The delete subtraction must be a broadcast anti-join — no
+    exchange of data rows."""
+    t = str(tmp_path / "plan")
+    catalog.create_table(spark.createDataFrame(docs_pdf), t,
+                         key_col="url")
+    catalog.delete_where(spark, t, "lang <> 'en'")
+    plan = (catalog.scan(spark, t)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_table_cli_and_build_over_table(spark, capsys, docs_pdf,
+                                        tmp_path):
+    from pears_lite_spark import jobs
+    src = str(tmp_path / "src.parquet")
+    spark.createDataFrame(docs_pdf).write.parquet(src)
+    t = str(tmp_path / "tbl")
+
+    def run(argv):
+        rc = jobs.main(argv)
+        out = capsys.readouterr().out.strip().splitlines()
+        assert rc == 0
+        return json.loads(out[-1])
+
+    r = run(["table", "--op", "create", "--path", t, "--input", src,
+             "--key", "url"])
+    assert r["n_live_rows"] == len(docs_pdf)
+    r = run(["table", "--op", "delete", "--path", t,
+             "--predicate", "lang <> 'en'"])
+    n_en = int((docs_pdf["lang"] == "en").sum())
+    assert r["n_live_rows"] == n_en and r["n_delete_files"] >= 1
+    hist = run(["table", "--op", "history", "--path", t])
+    assert [v["operation"] for v in hist["versions"]] == \
+        ["create", "delete"]
+    # the build job consumes the table path directly and indexes only
+    # live (non-deleted) rows
+    idx = str(tmp_path / "idx")
+    built = run(["build", "--input", t, "--output", idx,
+                 "--tokenizer", "ws"])
+    assert built["n_docs"] == n_en
