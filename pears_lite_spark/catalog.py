@@ -114,17 +114,21 @@ def create_table(df: DataFrame, path: str, key_col: str) -> dict:
     return snap
 
 
-def append(df: DataFrame, path: str) -> dict:
+def append(df: DataFrame, path: str,
+           summary_extra: dict | None = None) -> dict:
     """New snapshot = parent's files + newly written ones (no rewrite)."""
     parent = _read_snapshot(path, current_version(path))
     v = parent["version"] + 1
     files = _write_data_files(df, path, v)
+    summary = {"added_files": len(files)}
+    if summary_extra:
+        summary.update(summary_extra)
     snap = {"version": v, "parent": parent["version"],
             "operation": "append", "key_col": parent["key_col"],
             "schema": parent["schema"],
             "data_files": parent["data_files"] + files,
             "delete_files": parent["delete_files"],
-            "summary": {"added_files": len(files)}}
+            "summary": summary}
     _commit(path, snap)
     return snap
 
@@ -186,3 +190,49 @@ def compact(spark: SparkSession, path: str) -> dict:
 
 def is_table(path: str) -> bool:
     return os.path.isfile(os.path.join(_meta_dir(path), _VERSION_FILE))
+
+
+# --------------------------------------------------- streaming sink
+
+def idempotent_batch_appender(path: str, stream_id: str):
+    """foreachBatch sink committing one append snapshot per micro-batch,
+    replay-safe: the snapshot summary records (stream_id, batch_id), and
+    a batch whose id was already committed by the SAME stream is
+    skipped — the idempotent-commit pattern the real Iceberg/Delta
+    streaming sinks use to turn foreachBatch's at-least-once delivery
+    into exactly-once table commits (a restart replays the last
+    unacknowledged batch; the data files it wrote before the crash are
+    orphans that no snapshot references, so readers never see them)."""
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        done = {s["summary"].get("batch_id") for s in history(path)
+                if s["operation"] == "append"
+                and s["summary"].get("stream_id") == stream_id}
+        if int(batch_id) in done:
+            return
+        append(batch_df, path, summary_extra={
+            "stream_id": stream_id, "batch_id": int(batch_id)})
+
+    return commit_batch
+
+
+def stream_append(spark: SparkSession, source_dir: str, path: str,
+                  schema, checkpoint_dir: str,
+                  max_files_per_trigger: int = 1):
+    """Drain a parquet directory into snapshot commits (one per
+    micro-batch) with Trigger.AvailableNow. The stream identity for
+    replay detection is the checkpoint dir — a restart from the same
+    checkpoint skips replayed batches; a fresh checkpoint is a new
+    stream and appends anew, matching sink semantics of Structured
+    Streaming generally."""
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(source_dir))
+    q = (stream.writeStream
+         .foreachBatch(idempotent_batch_appender(
+             path, os.path.basename(os.path.normpath(checkpoint_dir))))
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q

@@ -158,3 +158,40 @@ def test_table_cli_and_build_over_table(spark, capsys, docs_pdf,
     built = run(["build", "--input", t, "--output", idx,
                  "--tokenizer", "ws"])
     assert built["n_docs"] == n_en
+
+
+def test_streaming_append_exactly_once(spark, docs_pdf, tmp_path):
+    """One snapshot per micro-batch; a replayed batch id from the same
+    stream commits nothing; a later delete applies across streamed
+    snapshots like any other."""
+    from pears_lite_spark.streaming.ingest import CORPUS_SCHEMA
+    from pears_lite_spark.corpus import gen_corpus
+    full = gen_corpus(30)
+    src = tmp_path / "src"
+    src.mkdir()
+    # three single-file arrivals -> three micro-batches
+    for i in range(3):
+        spark.createDataFrame(full.iloc[i * 10:(i + 1) * 10]) \
+            .coalesce(1).write.parquet(str(src / f"arrival_{i}"))
+    t = str(tmp_path / "tbl")
+    catalog.create_table(
+        spark.createDataFrame([], CORPUS_SCHEMA), t, key_col="url")
+    ck = str(tmp_path / "ck")
+    catalog.stream_append(spark, str(src / "arrival_*"), t,
+                          CORPUS_SCHEMA, checkpoint_dir=ck)
+    hist = catalog.history(t)
+    appends = [s for s in hist if s["operation"] == "append"]
+    assert len(appends) == 3
+    assert sorted(s["summary"]["batch_id"] for s in appends) == [0, 1, 2]
+    assert catalog.scan(spark, t).count() == 30
+
+    # replay: calling the sink again with an already-committed batch id
+    # must be a no-op for this stream
+    sink = catalog.idempotent_batch_appender(
+        t, stream_id=os.path.basename(ck))
+    sink(spark.createDataFrame(full.iloc[:10]), 1)
+    assert catalog.current_version(t) == 1 + 3  # create + 3 appends
+    # ...but a different stream id is a genuine new append
+    sink2 = catalog.idempotent_batch_appender(t, stream_id="other")
+    sink2(spark.createDataFrame(full.iloc[:5]), 1)
+    assert catalog.current_version(t) == 1 + 3 + 1
