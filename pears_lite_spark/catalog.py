@@ -99,6 +99,38 @@ def _abs(path: str, rels: list[str]) -> list[str]:
     return [os.path.join(path, r) for r in rels]
 
 
+def _file_stats(abs_path: str) -> dict:
+    """Per-file manifest stats, Iceberg-manifest style: row count, byte
+    size, and numeric column bounds lifted from the parquet footer
+    (free — no data pages are read). String/binary bounds are omitted
+    (Iceberg truncates-with-round-up to keep them safe; numeric covers
+    the partition-shaped columns pruning actually targets)."""
+    import pyarrow.parquet as pq
+    md = pq.ParquetFile(abs_path).metadata
+    lo: dict = {}
+    hi: dict = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            mn, mx = st.min, st.max
+            if not (isinstance(mn, (int, float))
+                    and not isinstance(mn, bool)):
+                continue
+            name = col.path_in_schema
+            lo[name] = mn if name not in lo else min(lo[name], mn)
+            hi[name] = mx if name not in hi else max(hi[name], mx)
+    return {"rows": md.num_rows, "bytes": os.path.getsize(abs_path),
+            "bounds": {c: [lo[c], hi[c]] for c in lo}}
+
+
+def _stats_for(path: str, files: list[str]) -> dict:
+    return {f: _file_stats(os.path.join(path, f)) for f in files}
+
+
 # ------------------------------------------------------------ operations
 
 def create_table(df: DataFrame, path: str, key_col: str) -> dict:
@@ -108,7 +140,9 @@ def create_table(df: DataFrame, path: str, key_col: str) -> dict:
     files = _write_data_files(df, path, 1)
     snap = {"version": 1, "parent": None, "operation": "create",
             "key_col": key_col, "schema": df.schema.simpleString(),
+            "schema_json": df.schema.json(),
             "data_files": files, "delete_files": [],
+            "file_stats": _stats_for(path, files),
             "summary": {"added_files": len(files)}}
     _commit(path, snap)
     return snap
@@ -128,6 +162,8 @@ def append(df: DataFrame, path: str,
             "schema": parent["schema"],
             "data_files": parent["data_files"] + files,
             "delete_files": parent["delete_files"],
+            "file_stats": {**parent.get("file_stats", {}),
+                           **_stats_for(path, files)},
             "summary": summary}
     _commit(path, snap)
     return snap
@@ -148,19 +184,48 @@ def delete_where(spark: SparkSession, path: str, predicate) -> dict:
             "schema": parent["schema"],
             "data_files": parent["data_files"],
             "delete_files": parent["delete_files"] + files,
+            "file_stats": parent.get("file_stats", {}),
             "summary": {"added_delete_files": len(files)}}
     _commit(path, snap)
     return snap
 
 
-def scan(spark: SparkSession, path: str,
-         version: int | None = None) -> DataFrame:
+def scan(spark: SparkSession, path: str, version: int | None = None,
+         prune: dict | None = None) -> DataFrame:
     """Read a snapshot (default: current). Data files are passed as an
     explicit list — pushdown and pruning apply as on any parquet scan —
     and equality-delete keys are subtracted with a broadcast anti-join
-    (keys-only, no data-row shuffle)."""
+    (keys-only, no data-row shuffle).
+
+    `prune` maps column -> (lo, hi) inclusive and does Iceberg's
+    metadata-level scan planning: data files whose manifest bounds
+    don't intersect the range are dropped from the file list BEFORE
+    Spark plans the scan — at web scale this is the difference between
+    planning over every file of the table and the handful a
+    time/id-range query touches. Files without recorded bounds for the
+    column are kept (safe), and the equivalent row filter is applied on
+    top, so results are exact regardless of pruning."""
     snap = _read_snapshot(path, version or current_version(path))
-    df = spark.read.parquet(*_abs(path, snap["data_files"]))
+    data_files = snap["data_files"]
+    stats = snap.get("file_stats", {})
+    if prune:
+        def keep(f: str) -> bool:
+            for col, (qlo, qhi) in prune.items():
+                b = stats.get(f, {}).get("bounds", {}).get(col)
+                if b is not None and (b[1] < qlo or b[0] > qhi):
+                    return False
+            return True
+        data_files = [f for f in data_files if keep(f)]
+    if not data_files:
+        import json as _json
+        from pyspark.sql.types import StructType
+        root = _read_snapshot(path, 1)
+        return spark.createDataFrame(
+            [], StructType.fromJson(_json.loads(root["schema_json"])))
+    df = spark.read.parquet(*_abs(path, data_files))
+    if prune:
+        for col, (qlo, qhi) in prune.items():
+            df = df.filter(F.col(col).between(qlo, qhi))
     if snap["delete_files"]:
         # no distinct(): each delete file holds distinct keys already,
         # anti-join semantics ignore right-side duplicates across
@@ -182,6 +247,7 @@ def compact(spark: SparkSession, path: str) -> dict:
             "operation": "compact", "key_col": parent["key_col"],
             "schema": parent["schema"],
             "data_files": files, "delete_files": [],
+            "file_stats": _stats_for(path, files),
             "summary": {"rewritten_files": len(files),
                         "dropped_delete_files": len(parent["delete_files"])}}
     _commit(path, snap)

@@ -195,3 +195,39 @@ def test_streaming_append_exactly_once(spark, docs_pdf, tmp_path):
     sink2 = catalog.idempotent_batch_appender(t, stream_id="other")
     sink2(spark.createDataFrame(full.iloc[:5]), 1)
     assert catalog.current_version(t) == 1 + 3 + 1
+
+
+def test_metadata_file_pruning(spark, tmp_path):
+    """Manifest column bounds prune the FILE LIST before Spark plans
+    the scan (Iceberg scan planning); results stay exact because the
+    row filter is applied on top."""
+    t = str(tmp_path / "pr")
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, f"u{i}") for i in range(lo, hi)],
+        "doc_id long, url string").coalesce(1)
+    catalog.create_table(mk(0, 100), t, key_col="doc_id")
+    catalog.append(mk(100, 200), t)
+    catalog.append(mk(200, 300), t)
+    snap = catalog._read_snapshot(t, 3)
+    assert len(snap["data_files"]) == 3
+    # every data file carries rows/bytes/bounds in the manifest
+    for f in snap["data_files"]:
+        st = snap["file_stats"][f]
+        assert st["rows"] == 100 and st["bytes"] > 0
+        assert "doc_id" in st["bounds"]
+
+    pruned = catalog.scan(spark, t, prune={"doc_id": (120, 180)})
+    assert len(pruned.inputFiles()) == 1  # only the middle file
+    assert sorted(r["doc_id"] for r in pruned.collect()) == \
+        list(range(120, 180 + 1))
+    # full scan still reads all three
+    assert len(catalog.scan(spark, t).inputFiles()) == 3
+    # a range touching nothing -> empty result, correct schema
+    none = catalog.scan(spark, t, prune={"doc_id": (10_000, 10_001)})
+    assert none.count() == 0
+    assert set(none.columns) == {"doc_id", "url"}
+    # pruning composes with merge-on-read deletes
+    catalog.delete_where(spark, t, "doc_id % 2 = 0")
+    odd = catalog.scan(spark, t, prune={"doc_id": (120, 180)})
+    assert sorted(r["doc_id"] for r in odd.collect()) == \
+        [i for i in range(120, 181) if i % 2 == 1]
