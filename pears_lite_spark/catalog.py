@@ -235,6 +235,46 @@ def scan(spark: SparkSession, path: str, version: int | None = None,
     return df
 
 
+def incremental_scan(spark: SparkSession, path: str, from_version: int,
+                     to_version: int | None = None) -> DataFrame:
+    """Rows APPENDED strictly after `from_version`, up to `to_version`
+    (default: current) — Iceberg's incremental append scan. This is
+    what makes a snapshot table the natural input of a resumable index
+    build: the indexer records the snapshot version it last consumed
+    and each run reads only the data files committed since, never
+    re-scanning the corpus.
+
+    Implementation: set difference of the two snapshots' file lists
+    (snapshots only ever add files, so the delta IS the appended data).
+    Raises if the range crosses a compact commit — a rewrite breaks
+    file identity, exactly the condition real incremental consumers
+    must restart from (Iceberg reports the same limitation for
+    replace/rewrite snapshots)."""
+    to_version = to_version or current_version(path)
+    for v in range(from_version + 1, to_version + 1):
+        op = _read_snapshot(path, v)["operation"]
+        if op == "compact":
+            raise ValueError(
+                f"incremental scan {from_version}->{to_version} crosses "
+                f"a compact commit at v{v}; consumers must re-baseline")
+    old = set(_read_snapshot(path, from_version)["data_files"])
+    new_snap = _read_snapshot(path, to_version)
+    delta = [f for f in new_snap["data_files"] if f not in old]
+    if not delta:
+        import json as _json
+        from pyspark.sql.types import StructType
+        root = _read_snapshot(path, 1)
+        return spark.createDataFrame(
+            [], StructType.fromJson(_json.loads(root["schema_json"])))
+    df = spark.read.parquet(*_abs(path, delta))
+    # standing equality deletes still mask rows (same read semantics
+    # as scan(); delete files are tiny and broadcast)
+    if new_snap["delete_files"]:
+        dels = spark.read.parquet(*_abs(path, new_snap["delete_files"]))
+        df = df.join(F.broadcast(dels), new_snap["key_col"], "left_anti")
+    return df
+
+
 def compact(spark: SparkSession, path: str) -> dict:
     """Rewrite live rows into fresh data files and drop delete files
     (Iceberg's rewrite-data-files maintenance action). Old snapshots

@@ -231,3 +231,38 @@ def test_metadata_file_pruning(spark, tmp_path):
     odd = catalog.scan(spark, t, prune={"doc_id": (120, 180)})
     assert sorted(r["doc_id"] for r in odd.collect()) == \
         [i for i in range(120, 181) if i % 2 == 1]
+
+
+def test_incremental_scan_feeds_resumable_builds(spark, tmp_path):
+    """Incremental append scan: only the data files committed after
+    the consumer's recorded snapshot version; raises across a compact
+    (file identity broken -> consumer must re-baseline)."""
+    t = str(tmp_path / "inc")
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, f"u{i}") for i in range(lo, hi)],
+        "doc_id long, url string")
+    catalog.create_table(mk(0, 20), t, key_col="doc_id")     # v1
+    catalog.append(mk(20, 30), t)                            # v2
+    catalog.append(mk(30, 45), t)                            # v3
+    inc = catalog.incremental_scan(spark, t, from_version=1)
+    assert sorted(r["doc_id"] for r in inc.collect()) == \
+        list(range(20, 45))
+    inc23 = catalog.incremental_scan(spark, t, 2, 3)
+    assert sorted(r["doc_id"] for r in inc23.collect()) == \
+        list(range(30, 45))
+    # nothing new -> empty with the table schema
+    none = catalog.incremental_scan(spark, t, 3)
+    assert none.count() == 0 and set(none.columns) == {"doc_id", "url"}
+    # standing deletes mask incremental rows too
+    catalog.delete_where(spark, t, "doc_id = 25")            # v4
+    inc_d = catalog.incremental_scan(spark, t, 1)
+    assert 25 not in {r["doc_id"] for r in inc_d.collect()}
+    # compaction breaks file identity for earlier baselines
+    catalog.compact(spark, t)                                # v5
+    with pytest.raises(ValueError, match="re-baseline"):
+        catalog.incremental_scan(spark, t, 1)
+    # ...but a post-compact baseline works again
+    catalog.append(mk(45, 50), t)                            # v6
+    inc_post = catalog.incremental_scan(spark, t, 5)
+    assert sorted(r["doc_id"] for r in inc_post.collect()) == \
+        list(range(45, 50))
