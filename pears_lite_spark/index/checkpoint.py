@@ -228,3 +228,85 @@ def compact_index(postings: DataFrame, stats: CorpusStats,
     return (postings.select(*cols)
             .groupBy("term_id", "doc_range")
             .applyInPandas(merge, schema=POSTING_SCHEMA))
+
+
+# --------------------------------------------- snapshot-table delta builds
+
+def index_table_delta(spark: SparkSession, table_path: str,
+                      index_path: str, tokenizer,
+                      with_positions: bool = True) -> dict:
+    """Consume a snapshot table (catalog.py) incrementally: the index
+    records the table version it last indexed (`_table_version.json`),
+    and each run builds ONLY the rows appended since as a new segment
+    part (part=<to_version>), with a lineage manifest recording the
+    consumed version range + doc stats. First run baselines on the
+    full current snapshot. Already-current is a no-op. A compact
+    commit in the range surfaces catalog.incremental_scan's
+    re-baseline error — the operator compacts the INDEX and starts a
+    fresh baseline, the same contract streaming checkpoints have.
+
+    This is the north-star loop closed: Iceberg-style snapshot commits
+    in, per-partition checkpointed segments out, resumable at the
+    granularity of table versions. Stats follow the streaming model
+    (frozen seed; `refresh_stats` + `compact --refresh-stats` correct
+    drift exactly)."""
+    from .. import catalog
+    from .build import with_doc_id
+    cur = catalog.current_version(table_path)
+    state_path = os.path.join(index_path, "_table_version.json")
+    frm = None
+    if os.path.exists(state_path):
+        with open(state_path) as fh:
+            frm = json.load(fh)["version"]
+        if frm == cur:
+            return {"from_version": frm, "to_version": cur,
+                    "up_to_date": True, "n_docs_delta": 0}
+        df = catalog.incremental_scan(spark, table_path, frm, cur)
+    else:
+        df = catalog.scan(spark, table_path)
+    os.makedirs(index_path, exist_ok=True)
+    if "doc_id" not in df.columns:
+        df = with_doc_id(df)
+    toks = tokenizer(df.select("doc_id", "text")) \
+        .select("doc_id", "tokens").persist()
+    agg = toks.agg(F.count("*").alias("n"),
+                   F.sum(F.size("tokens")).alias("sum_dl")).collect()[0]
+    n_delta = int(agg["n"] or 0)
+    sum_dl = int(agg["sum_dl"] or 0)
+    stats_path = os.path.join(index_path, "_stats.json")
+    if os.path.exists(stats_path):
+        with open(stats_path) as fh:
+            d = json.load(fh)
+        stats = CorpusStats(n_docs=d["n_docs"], avgdl=d["avgdl"])
+    else:  # frozen seed = the baseline snapshot's exact stats
+        stats = CorpusStats(n_docs=n_delta,
+                            avgdl=float(sum_dl) / max(n_delta, 1))
+        with open(stats_path, "w") as fh:
+            json.dump({"n_docs": stats.n_docs, "avgdl": stats.avgdl}, fh)
+    if n_delta > 0:
+        postings, _ = build_postings(toks, stats=stats,
+                                     with_positions=with_positions)
+        part_dir = os.path.join(index_path, f"part={cur}")
+        postings.write.mode("overwrite").parquet(part_dir)
+        manifest = {
+            "partition": cur,
+            "table": table_path,
+            "table_version_from": frm,
+            "table_version_to": cur,
+            "n_docs": n_delta,
+            "sum_dl": sum_dl,
+            "files": sorted(f for f in os.listdir(part_dir)
+                            if f.endswith(".parquet")),
+        }
+        with open(_manifest_path(index_path, cur), "w") as fh:
+            json.dump(manifest, fh, indent=1)
+    toks.unpersist()
+    # state flips only AFTER the segment + manifest are durable, so a
+    # crash mid-build re-consumes the same delta (idempotent: the part
+    # dir is overwritten, the manifest rewritten)
+    tmp = state_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"table": table_path, "version": cur}, fh)
+    os.replace(tmp, state_path)
+    return {"from_version": frm, "to_version": cur,
+            "up_to_date": False, "n_docs_delta": n_delta}

@@ -245,6 +245,24 @@ def cmd_table(args) -> int:
     return 0
 
 
+def cmd_index_delta(args) -> int:
+    """Incremental indexing off a snapshot table: index only the rows
+    appended since the table version this index last consumed (lineage
+    in the index's _table_version.json + per-segment manifests)."""
+    from .index.build import tokenize_spm, tokenize_whitespace
+    from .index.checkpoint import index_table_delta
+    spark = _spark("pears-index-delta")
+    t0 = time.time()
+    tokenizer = tokenize_spm if args.tokenizer == "spm" \
+        else tokenize_whitespace
+    res = index_table_delta(spark, args.table, args.index, tokenizer,
+                            with_positions=not args.no_positions)
+    _emit({"job": "index-delta", "table": args.table,
+           "index": args.index, **res,
+           "seconds": round(time.time() - t0, 2)})
+    return 0
+
+
 def cmd_pipeline(args) -> int:
     """End-to-end training-data pipeline: corpus -> extract ->
     [sample] -> quality filter [-> Gopher rule suite] [-> LM-loglik
@@ -453,6 +471,15 @@ def main(argv: list[str] | None = None) -> int:
     tb.add_argument("--predicate", default=None,
                     help="SQL predicate for --op delete")
     tb.set_defaults(fn=cmd_table)
+
+    idl = sub.add_parser("index-delta",
+                         help="index rows appended to a snapshot table "
+                              "since the last consumed version")
+    idl.add_argument("--table", required=True)
+    idl.add_argument("--index", required=True)
+    idl.add_argument("--tokenizer", default="spm", choices=["spm", "ws"])
+    idl.add_argument("--no-positions", action="store_true")
+    idl.set_defaults(fn=cmd_index_delta)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -266,3 +266,57 @@ def test_incremental_scan_feeds_resumable_builds(spark, tmp_path):
     inc_post = catalog.incremental_scan(spark, t, 5)
     assert sorted(r["doc_id"] for r in inc_post.collect()) == \
         list(range(45, 50))
+
+
+def test_index_delta_consumes_table_versions(spark, capsys, tmp_path):
+    """Snapshot commits in -> index segments out: the delta indexer
+    baselines on the current snapshot, then each run indexes only the
+    appended rows; re-running is a no-op; refresh_stats recovers exact
+    totals across segments."""
+    import json as _json
+    from pears_lite_spark import jobs
+    from pears_lite_spark.corpus import gen_corpus
+    from pears_lite_spark.index.checkpoint import (manifests,
+                                                   read_resumable,
+                                                   refresh_stats)
+    full = gen_corpus(30)[["url", "text", "lang"]]
+    t = str(tmp_path / "tbl")
+    catalog.create_table(spark.createDataFrame(full.iloc[:20]), t,
+                         key_col="url")
+    idx = str(tmp_path / "idx")
+
+    def run(argv):
+        rc = jobs.main(argv)
+        out = capsys.readouterr().out.strip().splitlines()
+        assert rc == 0
+        return _json.loads(out[-1])
+
+    r1 = run(["index-delta", "--table", t, "--index", idx,
+              "--tokenizer", "ws"])
+    assert r1["n_docs_delta"] == 20 and not r1["up_to_date"]
+    assert r1["to_version"] == 1
+
+    # append -> only the 10 new docs are indexed, as a new segment
+    catalog.append(spark.createDataFrame(full.iloc[20:]), t)
+    r2 = run(["index-delta", "--table", t, "--index", idx,
+              "--tokenizer", "ws"])
+    assert r2["n_docs_delta"] == 10
+    assert r2["from_version"] == 1 and r2["to_version"] == 2
+    ms = manifests(idx)
+    assert [m["n_docs"] for m in ms] == [20, 10]
+    assert ms[1]["table_version_from"] == 1
+
+    # already current -> no-op, no third segment
+    r3 = run(["index-delta", "--table", t, "--index", idx,
+              "--tokenizer", "ws"])
+    assert r3["up_to_date"] and len(manifests(idx)) == 2
+
+    # the union index covers all 30 docs; refresh_stats is exact
+    postings, _ = read_resumable(spark, idx)
+    stats = refresh_stats(spark, idx)
+    assert stats.n_docs == 30
+    # and it serves: every doc's url token is findable via BM25
+    from pears_lite_spark.search.bm25 import Searcher
+    s = Searcher(postings, stats, flat_cache=False)
+    hits = s.search([["the"]], k=30)[0]
+    assert len(hits) > 0
