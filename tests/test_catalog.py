@@ -320,3 +320,63 @@ def test_index_delta_consumes_table_versions(spark, capsys, tmp_path):
     s = Searcher(postings, stats, flat_cache=False)
     hits = s.search([["the"]], k=30)[0]
     assert len(hits) > 0
+
+
+# ------------------------------------------------ model-based random ops
+
+from hypothesis import given, settings, strategies as st
+
+_op = st.one_of(
+    st.tuples(st.just("append"),
+              st.lists(st.integers(0, 60), min_size=1, max_size=6)),
+    st.tuples(st.just("delete"), st.integers(0, 60)),
+    st.tuples(st.just("compact"), st.just(0)),
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(ops=st.lists(_op, min_size=1, max_size=6), seed=st.integers(0, 3))
+def test_catalog_matches_model_under_random_ops(spark, tmp_path_factory,
+                                                ops, seed):
+    """Random append/delete/compact sequences vs a pure-Python model of
+    the documented semantics (equality deletes always-applied until a
+    compact clears them; appends are multiset, no upsert). After the
+    run, every historical version must replay to the model state it
+    had when committed (time travel)."""
+    t = str(tmp_path_factory.mktemp("hyp") / "tbl")
+    mk = lambda ks: spark.createDataFrame(
+        [(f"k{k}", k) for k in ks], "url string, v long")
+    # model: appended = list of keys (multiset); deleted = active keys
+    appended = [seed, seed + 1]
+    deleted: set = set()
+    catalog.create_table(mk(appended), t, key_col="url")
+
+    def live():
+        return sorted(f"k{k}" for k in appended
+                      if f"k{k}" not in deleted)
+
+    states = {1: live()}
+    v = 1
+    for kind, arg in ops:
+        if kind == "append":
+            catalog.append(mk(arg), t)
+            appended.extend(arg)
+        elif kind == "delete":
+            catalog.delete_where(spark, t, f"v <= {arg}")
+            deleted |= {f"k{k}" for k in appended
+                        if k <= arg and f"k{k}" not in deleted}
+        else:
+            catalog.compact(spark, t)
+            appended = [k for k in appended if f"k{k}" not in deleted]
+            deleted = set()
+        v += 1
+        states[v] = live()
+        got = sorted(r["url"] for r in
+                     catalog.scan(spark, t).select("url").collect())
+        assert got == states[v], f"v{v} after {kind}"
+    # time travel: every version replays to its recorded model state
+    for ver, want in states.items():
+        got = sorted(r["url"] for r in
+                     catalog.scan(spark, t, version=ver)
+                     .select("url").collect())
+        assert got == want, f"time travel v{ver}"
