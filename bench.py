@@ -395,6 +395,31 @@ def main():
         t0 = time.time()
         pack_sequences(docs_tbl, seq_len=2048).count()
         queries_sec["pack_sequences"] = round(time.time() - t0, 3)
+
+        # snapshot-catalog scan overhead vs the raw parquet read it
+        # wraps: same sf documents, 10% of rows behind an equality
+        # delete — the broadcast anti-join should cost ~nothing next
+        # to the scan itself
+        import shutil
+        import tempfile
+        from pears_lite_spark import catalog as cat
+        tdir = os.path.join(tempfile.gettempdir(), "pears_bench_tbl")
+        if os.path.exists(tdir):
+            shutil.rmtree(tdir)
+        cat.create_table(docs_tbl, tdir, key_col="doc_id")
+        cat.delete_where(spark, tdir, "doc_id % 10 = 0")
+        t0 = time.time()
+        spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .filter("doc_id % 10 <> 0").count()
+        t_raw = time.time() - t0
+        t0 = time.time()
+        cat.scan(spark, tdir).count()
+        t_cat = time.time() - t0
+        queries_sec["catalog_scan"] = round(t_cat, 3)
+        queries_sec["catalog_scan_raw_parquet"] = round(t_raw, 3)
+        log(f"catalog scan (10% deleted): {t_cat:.2f}s vs raw "
+            f"parquet filter {t_raw:.2f}s")
+        shutil.rmtree(tdir, ignore_errors=True)
     finally:
         spark.stop()
 
