@@ -921,7 +921,7 @@ def q_delete_rebuild(spark, sf_dir):
 
 
 def _fixture_table(spark, sf_dir, name: str, do_delete=True,
-                   do_compact=False) -> str:
+                   do_compact=False, split="mod2") -> str:
     """Provision an Iceberg-style snapshot table (catalog.py) from the
     sf documents, split into two appends, optionally with a
     merge-on-read delete (doc_id % 10 = 0) and a compaction. Rebuilt
@@ -936,9 +936,15 @@ def _fixture_table(spark, sf_dir, name: str, do_delete=True,
     if os.path.exists(path):
         shutil.rmtree(path)
     docs = _docs(spark, sf_dir)
-    catalog.create_table(docs.filter(F.col("doc_id") % 2 == 0), path,
-                         key_col="doc_id")
-    catalog.append(docs.filter(F.col("doc_id") % 2 != 0), path)
+    if split == "range":  # disjoint doc_id ranges -> file bounds prune
+        mid = docs.agg(F.max("doc_id")).collect()[0][0] // 2
+        first = docs.filter(F.col("doc_id") <= mid)
+        second = docs.filter(F.col("doc_id") > mid)
+    else:  # interleaved halves (bounds overlap; pruning keeps both)
+        first = docs.filter(F.col("doc_id") % 2 == 0)
+        second = docs.filter(F.col("doc_id") % 2 != 0)
+    catalog.create_table(first, path, key_col="doc_id")
+    catalog.append(second, path)
     if do_delete:
         catalog.delete_where(spark, path, "doc_id % 10 = 0")
     if do_compact:
@@ -972,6 +978,20 @@ def q_table_compact_scan(spark, sf_dir):
     from . import catalog
     path = _fixture_table(spark, sf_dir, "cmp", do_compact=True)
     return catalog.scan(spark, path).select("doc_id", "lang", "n_chars")
+
+
+def q_table_pruned_scan(spark, sf_dir):
+    """Manifest-bounds file pruning composed with merge-on-read
+    deletes: range-split snapshots, a doc_id range inside the lower
+    file, equality deletes applied on top. The pruned file never
+    reaches Spark's planner (pytest asserts inputFiles() shrinks); the
+    oracle checks the values are exactly the range+delete filter."""
+    from . import catalog
+    path = _fixture_table(spark, sf_dir, "prn", split="range")
+    mx = _docs(spark, sf_dir).agg(F.max("doc_id")).collect()[0][0]
+    return catalog.scan(spark, path,
+                        prune={"doc_id": (mx // 5, mx * 9 // 20)}) \
+        .select("doc_id", "lang", "n_chars")
 
 
 def q_snippets(spark, sf_dir):
@@ -1577,6 +1597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_scan_deletes": q_table_scan_deletes,
         "table_time_travel": q_table_time_travel,
         "table_compact_scan": q_table_compact_scan,
+        "table_pruned_scan": q_table_pruned_scan,
     }
 
 
@@ -2757,4 +2778,10 @@ SELECT doc_id, n_chars FROM documents""",
 
         "table_compact_scan": """
 SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 10 <> 0""",
+
+        "table_pruned_scan": """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE doc_id % 10 <> 0
+  AND doc_id BETWEEN (SELECT max(doc_id) // 5 FROM documents)
+                 AND (SELECT (max(doc_id) * 9) // 20 FROM documents)""",
     }

@@ -178,7 +178,7 @@ def cmd_ann_index(args) -> int:
     spark = _spark("pears-ann")
     t0 = time.time()
     if args.mode == "build":
-        emb = spark.read.parquet(args.input)
+        emb = _read_corpus(spark, args.input)
         meta = write_ann_index(emb, args.output, n_cells=args.n_cells,
                                n_planes=args.n_planes,
                                n_tables=args.n_tables)
@@ -187,7 +187,7 @@ def cmd_ann_index(args) -> int:
                "n_tables": meta["n_tables"],
                "seconds": round(time.time() - t0, 2)})
     elif args.mode == "append":
-        append_ann_index(spark.read.parquet(args.input), args.output)
+        append_ann_index(_read_corpus(spark, args.input), args.output)
         _emit({"job": "ann-index", "mode": "append", "output": args.output,
                "seconds": round(time.time() - t0, 2)})
     else:  # probe
