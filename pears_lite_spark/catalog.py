@@ -66,9 +66,15 @@ def _read_snapshot(path: str, version: int) -> dict:
 
 
 def history(path: str) -> list[dict]:
-    """All snapshots, oldest first (the Iceberg snapshot log)."""
-    return [_read_snapshot(path, v)
-            for v in range(1, current_version(path) + 1)]
+    """All retained snapshots, oldest first (the Iceberg snapshot log;
+    expire_snapshots removes entries before its horizon)."""
+    out = []
+    for v in range(1, current_version(path) + 1):
+        try:
+            out.append(_read_snapshot(path, v))
+        except FileNotFoundError:
+            continue
+    return out
 
 
 def _commit(path: str, snap: dict) -> None:
@@ -160,6 +166,7 @@ def append(df: DataFrame, path: str,
     snap = {"version": v, "parent": parent["version"],
             "operation": "append", "key_col": parent["key_col"],
             "schema": parent["schema"],
+            "schema_json": parent.get("schema_json"),
             "data_files": parent["data_files"] + files,
             "delete_files": parent["delete_files"],
             "file_stats": {**parent.get("file_stats", {}),
@@ -182,6 +189,7 @@ def delete_where(spark: SparkSession, path: str, predicate) -> dict:
     snap = {"version": v, "parent": parent["version"],
             "operation": "delete", "key_col": key,
             "schema": parent["schema"],
+            "schema_json": parent.get("schema_json"),
             "data_files": parent["data_files"],
             "delete_files": parent["delete_files"] + files,
             "file_stats": parent.get("file_stats", {}),
@@ -219,9 +227,8 @@ def scan(spark: SparkSession, path: str, version: int | None = None,
     if not data_files:
         import json as _json
         from pyspark.sql.types import StructType
-        root = _read_snapshot(path, 1)
         return spark.createDataFrame(
-            [], StructType.fromJson(_json.loads(root["schema_json"])))
+            [], StructType.fromJson(_json.loads(snap["schema_json"])))
     df = spark.read.parquet(*_abs(path, data_files))
     if prune:
         for col, (qlo, qhi) in prune.items():
@@ -251,21 +258,26 @@ def incremental_scan(spark: SparkSession, path: str, from_version: int,
     must restart from (Iceberg reports the same limitation for
     replace/rewrite snapshots)."""
     to_version = to_version or current_version(path)
-    for v in range(from_version + 1, to_version + 1):
-        op = _read_snapshot(path, v)["operation"]
-        if op == "compact":
-            raise ValueError(
-                f"incremental scan {from_version}->{to_version} crosses "
-                f"a compact commit at v{v}; consumers must re-baseline")
-    old = set(_read_snapshot(path, from_version)["data_files"])
+    try:
+        for v in range(from_version + 1, to_version + 1):
+            op = _read_snapshot(path, v)["operation"]
+            if op == "compact":
+                raise ValueError(
+                    f"incremental scan {from_version}->{to_version} "
+                    f"crosses a compact commit at v{v}; consumers must "
+                    f"re-baseline")
+        old = set(_read_snapshot(path, from_version)["data_files"])
+    except FileNotFoundError as e:
+        raise ValueError(
+            f"incremental scan {from_version}->{to_version} crosses "
+            f"expired snapshots; consumers must re-baseline") from e
     new_snap = _read_snapshot(path, to_version)
     delta = [f for f in new_snap["data_files"] if f not in old]
     if not delta:
         import json as _json
         from pyspark.sql.types import StructType
-        root = _read_snapshot(path, 1)
         return spark.createDataFrame(
-            [], StructType.fromJson(_json.loads(root["schema_json"])))
+            [], StructType.fromJson(_json.loads(new_snap["schema_json"])))
     df = spark.read.parquet(*_abs(path, delta))
     # standing equality deletes still mask rows (same read semantics
     # as scan(); delete files are tiny and broadcast)
@@ -286,6 +298,7 @@ def compact(spark: SparkSession, path: str) -> dict:
     snap = {"version": v, "parent": parent["version"],
             "operation": "compact", "key_col": parent["key_col"],
             "schema": parent["schema"],
+            "schema_json": parent.get("schema_json"),
             "data_files": files, "delete_files": [],
             "file_stats": _stats_for(path, files),
             "summary": {"rewritten_files": len(files),
@@ -296,6 +309,48 @@ def compact(spark: SparkSession, path: str) -> dict:
 
 def is_table(path: str) -> bool:
     return os.path.isfile(os.path.join(_meta_dir(path), _VERSION_FILE))
+
+
+def expire_snapshots(path: str, keep_last: int = 1) -> dict:
+    """Iceberg's expire-snapshots maintenance: retain only the newest
+    `keep_last` snapshots' metadata and delete every data/delete file
+    no retained snapshot references — including orphans from crashed
+    writes (files on disk that no snapshot ever committed). Time
+    travel older than the horizon is gone after this, by design;
+    incremental consumers baselined before the horizon must
+    re-baseline. The current snapshot and the VERSION pointer are
+    never touched, so readers are unaffected throughout."""
+    cur = current_version(path)
+    keep_from = max(1, cur - keep_last + 1)
+    referenced: set = set()
+    for v in range(keep_from, cur + 1):
+        s = _read_snapshot(path, v)
+        referenced.update(s["data_files"])
+        referenced.update(s["delete_files"])
+    removed_files = 0
+    for subdir in ("data", "deletes"):
+        base = os.path.join(path, subdir)
+        if not os.path.isdir(base):
+            continue
+        for snap_dir in os.listdir(base):
+            sd = os.path.join(base, snap_dir)
+            for f in os.listdir(sd):
+                rel = os.path.join(subdir, snap_dir, f)
+                if f.endswith(".parquet") and rel not in referenced:
+                    os.remove(os.path.join(path, rel))
+                    removed_files += 1
+            if not any(x.endswith(".parquet") for x in os.listdir(sd)):
+                import shutil
+                shutil.rmtree(sd)
+    removed_meta = 0
+    for v in range(1, keep_from):
+        mp = os.path.join(_meta_dir(path), f"v{v}.json")
+        if os.path.exists(mp):
+            os.remove(mp)
+            removed_meta += 1
+    return {"retained_from": keep_from, "current": cur,
+            "removed_files": removed_files,
+            "removed_snapshots": removed_meta}
 
 
 # --------------------------------------------------- streaming sink

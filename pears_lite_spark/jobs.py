@@ -228,6 +228,12 @@ def cmd_table(args) -> int:
         snap = catalog.delete_where(spark, args.path, args.predicate)
     elif args.op == "compact":
         snap = catalog.compact(spark, args.path)
+    elif args.op == "expire":
+        res = catalog.expire_snapshots(args.path,
+                                       keep_last=args.keep_last)
+        _emit({"job": "table", "op": "expire", "path": args.path,
+               **res, "seconds": round(time.time() - t0, 2)})
+        return 0
     else:  # history
         hist = catalog.history(args.path)
         _emit({"job": "table", "op": "history", "path": args.path,
@@ -462,7 +468,7 @@ def main(argv: list[str] | None = None) -> int:
                         help="Iceberg-style snapshot table maintenance")
     tb.add_argument("--op", required=True,
                     choices=["create", "append", "delete", "compact",
-                             "history"])
+                             "history", "expire"])
     tb.add_argument("--path", required=True, help="table root dir")
     tb.add_argument("--input", default=None,
                     help="parquet to load (create/append)")
@@ -470,6 +476,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="equality-delete key column (create)")
     tb.add_argument("--predicate", default=None,
                     help="SQL predicate for --op delete")
+    tb.add_argument("--keep-last", type=int, default=2,
+                    help="snapshots to retain for --op expire")
     tb.set_defaults(fn=cmd_table)
 
     idl = sub.add_parser("index-delta",

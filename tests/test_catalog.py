@@ -380,3 +380,44 @@ def test_catalog_matches_model_under_random_ops(spark, tmp_path_factory,
                      catalog.scan(spark, t, version=ver)
                      .select("url").collect())
         assert got == want, f"time travel v{ver}"
+
+
+def test_expire_snapshots_and_orphan_cleanup(spark, tmp_path):
+    """Expiry retains the newest K snapshots' files, removes
+    unreferenced files (including crash orphans no snapshot ever
+    committed), keeps the current scan identical, and makes expired
+    time travel / stale incremental baselines fail loudly."""
+    t = str(tmp_path / "exp")
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, f"u{i}") for i in range(lo, hi)],
+        "doc_id long, url string")
+    catalog.create_table(mk(0, 10), t, key_col="doc_id")     # v1
+    catalog.append(mk(10, 20), t)                            # v2
+    catalog.delete_where(spark, t, "doc_id < 5")             # v3
+    catalog.compact(spark, t)                                # v4 (drops v1-v3 files)
+    catalog.append(mk(20, 25), t)                            # v5
+    # plant a crash orphan: a data dir no snapshot references
+    orphan_dir = os.path.join(t, "data", "snap-99")
+    os.makedirs(orphan_dir)
+    with open(os.path.join(orphan_dir, "junk.parquet"), "wb") as fh:
+        fh.write(b"not really parquet")
+    before = sorted(r["doc_id"] for r in catalog.scan(spark, t).collect())
+
+    res = catalog.expire_snapshots(t, keep_last=2)           # keep v4, v5
+    assert res["removed_snapshots"] == 3 and res["removed_files"] >= 3
+    assert not os.path.exists(orphan_dir)
+    # current reads are untouched
+    after = sorted(r["doc_id"] for r in catalog.scan(spark, t).collect())
+    assert after == before
+    # retained time travel works; expired raises
+    assert catalog.scan(spark, t, version=4).count() == 15
+    with pytest.raises(FileNotFoundError):
+        catalog.scan(spark, t, version=2)
+    # history lists only retained snapshots
+    assert [s["version"] for s in catalog.history(t)] == [4, 5]
+    # stale incremental baseline -> loud re-baseline error
+    with pytest.raises(ValueError, match="re-baseline"):
+        catalog.incremental_scan(spark, t, 1)
+    # fresh baseline still works
+    inc = catalog.incremental_scan(spark, t, 4)
+    assert sorted(r["doc_id"] for r in inc.collect()) == list(range(20, 25))
