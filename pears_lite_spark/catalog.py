@@ -111,7 +111,21 @@ def _file_stats(abs_path: str) -> dict:
     (free — no data pages are read). String/binary bounds are omitted
     (Iceberg truncates-with-round-up to keep them safe; numeric covers
     the partition-shaped columns pruning actually targets)."""
+    import datetime
+
     import pyarrow.parquet as pq
+
+    def _norm(x):
+        # timestamps normalize to epoch microseconds so bounds are
+        # plain JSON ints; prune() normalizes its range the same way
+        if isinstance(x, datetime.datetime):
+            if x.tzinfo is None:
+                x = x.replace(tzinfo=datetime.timezone.utc)
+            return int(x.timestamp() * 1_000_000)
+        if isinstance(x, (int, float)) and not isinstance(x, bool):
+            return x
+        return None
+
     md = pq.ParquetFile(abs_path).metadata
     lo: dict = {}
     hi: dict = {}
@@ -122,9 +136,8 @@ def _file_stats(abs_path: str) -> dict:
             st = col.statistics
             if st is None or not st.has_min_max:
                 continue
-            mn, mx = st.min, st.max
-            if not (isinstance(mn, (int, float))
-                    and not isinstance(mn, bool)):
+            mn, mx = _norm(st.min), _norm(st.max)
+            if mn is None or mx is None:
                 continue
             name = col.path_in_schema
             lo[name] = mn if name not in lo else min(lo[name], mn)
@@ -217,10 +230,21 @@ def scan(spark: SparkSession, path: str, version: int | None = None,
     data_files = snap["data_files"]
     stats = snap.get("file_stats", {})
     if prune:
+        import datetime
+
+        def _norm(x):
+            # mirror _file_stats: datetimes compare as epoch micros
+            if isinstance(x, datetime.datetime):
+                if x.tzinfo is None:
+                    x = x.replace(tzinfo=datetime.timezone.utc)
+                return int(x.timestamp() * 1_000_000)
+            return x
+
         def keep(f: str) -> bool:
             for col, (qlo, qhi) in prune.items():
                 b = stats.get(f, {}).get("bounds", {}).get(col)
-                if b is not None and (b[1] < qlo or b[0] > qhi):
+                if b is not None and (b[1] < _norm(qlo)
+                                      or b[0] > _norm(qhi)):
                     return False
             return True
         data_files = [f for f in data_files if keep(f)]

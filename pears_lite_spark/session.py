@@ -29,6 +29,12 @@ def get_spark(app_name: str = "pears-lite-spark",
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
          .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
          .config("spark.sql.session.timeZone", "UTC")
+         # int64-micros timestamps: parquet footers carry min/max stats
+         # for them (INT96, Spark's legacy default, has none and is
+         # banned by the Iceberg spec) — the catalog's manifest bounds
+         # and time-range file pruning depend on this
+         .config("spark.sql.parquet.outputTimestampType",
+                 "TIMESTAMP_MICROS")
          .config("spark.driver.memory",
                  os.environ.get("PEARS_DRIVER_MEM", "8g"))
          .config("spark.ui.enabled", "false"))

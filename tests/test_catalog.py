@@ -421,3 +421,26 @@ def test_expire_snapshots_and_orphan_cleanup(spark, tmp_path):
     # fresh baseline still works
     inc = catalog.incremental_scan(spark, t, 4)
     assert sorted(r["doc_id"] for r in inc.collect()) == list(range(20, 25))
+
+
+def test_timestamp_bounds_prune_time_windows(spark, tmp_path):
+    """warc_ts-style time-window queries prune files by timestamp
+    bounds (stored as epoch micros in the manifest; int64-micros
+    parquet timestamps carry footer stats, unlike legacy INT96)."""
+    import datetime as dt
+    t = str(tmp_path / "ts")
+    day = lambda d: dt.datetime(2024, 1, d, tzinfo=dt.timezone.utc)
+    mk = lambda d0, n: spark.createDataFrame(
+        [(f"u{d0}_{i}", day(d0)) for i in range(n)],
+        "url string, warc_ts timestamp").coalesce(1)
+    catalog.create_table(mk(1, 5), t, key_col="url")   # day 1
+    catalog.append(mk(10, 5), t)                       # day 10
+    catalog.append(mk(20, 5), t)                       # day 20
+    snap = catalog._read_snapshot(t, 3)
+    assert all("warc_ts" in st["bounds"]
+               for st in snap["file_stats"].values())
+    window = catalog.scan(spark, t,
+                          prune={"warc_ts": (day(9), day(11))})
+    assert len(window.inputFiles()) == 1
+    assert window.count() == 5
+    assert {r["url"][:3] for r in window.collect()} == {"u10"}
