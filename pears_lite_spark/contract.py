@@ -994,6 +994,30 @@ def q_table_pruned_scan(spark, sf_dir):
         .select("doc_id", "lang", "n_chars")
 
 
+def q_table_ts_window(spark, sf_dir):
+    """Time-window scan over a snapshot table of events: timestamp
+    manifest bounds prune the file list (range-split snapshots), and
+    the window filter pins the values against the SQL oracle — the
+    warc_ts crawl-window query shape from the input hint."""
+    import datetime as dt
+    import os
+    import shutil
+    import tempfile
+    from . import catalog
+    path = os.path.join(tempfile.gettempdir(),
+                        f"pears_tbl_ts_{abs(hash(sf_dir)) % 10**8}")
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    mid = dt.datetime(2024, 1, 16)
+    catalog.create_table(ev.filter(F.col("ts") < F.lit(mid)), path,
+                         key_col="event_id")
+    catalog.append(ev.filter(F.col("ts") >= F.lit(mid)), path)
+    win = (dt.datetime(2024, 1, 5), dt.datetime(2024, 1, 10))
+    return catalog.scan(spark, path, prune={"ts": win}) \
+        .select("event_id", "user_id", "event_type")
+
+
 def q_snippets(spark, sf_dir):
     """P8: snippet projection — first 300 chars, ',' -> '-'
     (`htmlparser.py:109`)."""
@@ -1598,6 +1622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_time_travel": q_table_time_travel,
         "table_compact_scan": q_table_compact_scan,
         "table_pruned_scan": q_table_pruned_scan,
+        "table_ts_window": q_table_ts_window,
     }
 
 
@@ -2784,4 +2809,9 @@ SELECT doc_id, lang, n_chars FROM documents
 WHERE doc_id % 10 <> 0
   AND doc_id BETWEEN (SELECT max(doc_id) // 5 FROM documents)
                  AND (SELECT (max(doc_id) * 9) // 20 FROM documents)""",
+
+        "table_ts_window": """
+SELECT event_id, user_id, event_type FROM events
+WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00'
+             AND TIMESTAMP '2024-01-10 00:00:00'""",
     }
