@@ -1,5 +1,5 @@
 """spark-submit entrypoints: build / resume / query / compact /
-pipeline / ann-index.
+pipeline / ann-index / table / index-delta.
 
 The north rule requires the pipeline to run "via spark-submit
 --py-files on multi-executor clusters". This module is that surface:
