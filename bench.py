@@ -270,6 +270,12 @@ def main():
         eff = thr_hi / ((high / low) * thr_low)
         ceil_eff = max(ceil_pre, ceil_post)
         scaling = {"cores_low": low, "cores_high": high,
+                   # every rep, not just the min: leg-to-leg drift is
+                   # the signal the short ceiling probes can miss
+                   # (observed: clean 1.00 ceilings around legs that
+                   # scaled at 0.56 while singles degraded 1.5x)
+                   "leg_times_low": [round(t, 2) for t in t_los],
+                   "leg_times_high": [round(t, 2) for t in t_his],
                    "throughput_low": round(thr_low, 1),
                    "throughput_high": round(thr_hi, 1),
                    "efficiency": round(eff, 3),
