@@ -177,6 +177,45 @@ def cmd_ann_index(args) -> int:
                       lsh_topk_indexed, read_ann_meta, write_ann_index)
     spark = _spark("pears-ann")
     t0 = time.time()
+    if args.mode == "delta":
+        # incremental maintenance off an embeddings snapshot table:
+        # baseline-build on first run, then append only the vectors
+        # committed since the version recorded in the index dir (the
+        # index-delta lineage pattern applied to the ANN artifact)
+        from . import catalog
+        from .ann import ANN_META
+        cur = catalog.current_version(args.input)
+        state_p = os.path.join(args.output, "_table_version.json")
+        frm = None
+        if os.path.exists(state_p):
+            with open(state_p) as fh:
+                frm = json.load(fh)["version"]
+            if frm == cur:
+                _emit({"job": "ann-index", "mode": "delta",
+                       "from_version": frm, "to_version": cur,
+                       "up_to_date": True, "n_vectors_delta": 0,
+                       "seconds": round(time.time() - t0, 2)})
+                return 0
+            emb = catalog.incremental_scan(spark, args.input, frm, cur)
+        else:
+            emb = catalog.scan(spark, args.input)
+        n_delta = emb.count()
+        if os.path.exists(os.path.join(args.output, ANN_META)):
+            if n_delta:
+                append_ann_index(emb, args.output)
+        else:
+            write_ann_index(emb, args.output, n_cells=args.n_cells,
+                            n_planes=args.n_planes,
+                            n_tables=args.n_tables)
+        tmp = state_p + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"table": args.input, "version": cur}, fh)
+        os.replace(tmp, state_p)
+        _emit({"job": "ann-index", "mode": "delta",
+               "from_version": frm, "to_version": cur,
+               "up_to_date": False, "n_vectors_delta": int(n_delta),
+               "seconds": round(time.time() - t0, 2)})
+        return 0
     if args.mode == "build":
         emb = _read_corpus(spark, args.input)
         meta = write_ann_index(emb, args.output, n_cells=args.n_cells,
@@ -419,7 +458,7 @@ def main(argv: list[str] | None = None) -> int:
     ai = sub.add_parser("ann-index",
                         help="build/append/probe the materialized ANN index")
     ai.add_argument("--mode", required=True,
-                    choices=["build", "append", "probe"])
+                    choices=["build", "append", "probe", "delta"])
     ai.add_argument("--input", required=True,
                     help="embeddings parquet (vec_id, embedding)")
     ai.add_argument("--output", required=True, help="index root dir")

@@ -444,3 +444,48 @@ def test_timestamp_bounds_prune_time_windows(spark, tmp_path):
     assert len(window.inputFiles()) == 1
     assert window.count() == 5
     assert {r["url"][:3] for r in window.collect()} == {"u10"}
+
+
+def test_ann_delta_consumes_embedding_table(spark, capsys, tmp_path):
+    """ANN artifact maintained incrementally off an embeddings snapshot
+    table: baseline build, append-only delta, no-op when current, and
+    probes see the union."""
+    import json as _json
+    from pears_lite_spark import jobs
+    from pears_lite_spark.ann import ivf_topk_indexed
+
+    def vecs(lo, hi):
+        # i/1000 in dim 0 keeps every vector unique (the bare %13
+        # pattern repeats with period 13 -> exact duplicates)
+        return spark.createDataFrame(
+            [(i, [float((i * 7 + d) % 13) + (i / 1000.0 if d == 0
+                                             else 0.0)
+                  for d in range(8)])
+             for i in range(lo, hi)],
+            "vec_id long, embedding array<float>")
+
+    t = str(tmp_path / "etbl")
+    catalog.create_table(vecs(0, 60), t, key_col="vec_id")
+    idx = str(tmp_path / "aidx")
+
+    def run(argv):
+        rc = jobs.main(argv)
+        out = capsys.readouterr().out.strip().splitlines()
+        assert rc == 0
+        return _json.loads(out[-1])
+
+    base = ["ann-index", "--mode", "delta", "--input", t,
+            "--output", idx, "--n-cells", "4"]
+    r1 = run(base)
+    assert r1["n_vectors_delta"] == 60 and not r1["up_to_date"]
+    catalog.append(vecs(60, 80), t)
+    r2 = run(base)
+    assert r2["n_vectors_delta"] == 20
+    assert r2["from_version"] == 1 and r2["to_version"] == 2
+    r3 = run(base)
+    assert r3["up_to_date"]
+    # a probe over the maintained index can return appended vectors
+    q = [float((70 * 7 + d) % 13) + (0.07 if d == 0 else 0.0)
+         for d in range(8)]  # = vector 70
+    top = ivf_topk_indexed(spark, idx, q, k=1, nprobe=4).collect()
+    assert top and top[0]["vec_id"] == 70
