@@ -92,9 +92,18 @@ def _commit(path: str, snap: dict) -> None:
 def _write_data_files(df: DataFrame, path: str, snap_version: int,
                       subdir: str = "data") -> list[str]:
     """Write df as parquet under an immutable per-snapshot directory
-    and return the RELATIVE file paths to register in the snapshot."""
+    and return the RELATIVE file paths to register in the snapshot.
+
+    If the directory already exists it is an orphan from a torn commit
+    (data written, VERSION never flipped — no snapshot can reference
+    it, because version numbers only advance past a flipped pointer),
+    so it is cleared and rewritten rather than wedging every future
+    commit of this version number."""
     rel_dir = os.path.join(subdir, f"snap-{snap_version}")
     out = os.path.join(path, rel_dir)
+    if os.path.exists(out):
+        import shutil
+        shutil.rmtree(out)
     df.write.mode("error").parquet(out)
     return sorted(
         os.path.join(rel_dir, f) for f in os.listdir(out)
@@ -105,27 +114,38 @@ def _abs(path: str, rels: list[str]) -> list[str]:
     return [os.path.join(path, r) for r in rels]
 
 
+def _norm_bound(x, tz: str = "UTC"):
+    """Normalize a bound for manifest comparison: datetimes become
+    epoch microseconds (naive ones interpreted in `tz` — pass the
+    Spark session timezone so pruning agrees with how F.between will
+    read the same literal); numerics pass through; everything else is
+    None (no bound recorded)."""
+    import datetime
+    if isinstance(x, datetime.datetime):
+        if x.tzinfo is None:
+            from zoneinfo import ZoneInfo
+            x = x.replace(tzinfo=ZoneInfo(tz))
+        return int(x.timestamp() * 1_000_000)
+    if isinstance(x, (int, float)) and not isinstance(x, bool):
+        return x
+    return None
+
+
+def _empty_df(spark: SparkSession, snap: dict) -> DataFrame:
+    from pyspark.sql.types import StructType
+    return spark.createDataFrame(
+        [], StructType.fromJson(json.loads(snap["schema_json"])))
+
+
 def _file_stats(abs_path: str) -> dict:
     """Per-file manifest stats, Iceberg-manifest style: row count, byte
     size, and numeric column bounds lifted from the parquet footer
     (free — no data pages are read). String/binary bounds are omitted
     (Iceberg truncates-with-round-up to keep them safe; numeric covers
     the partition-shaped columns pruning actually targets)."""
-    import datetime
-
     import pyarrow.parquet as pq
 
-    def _norm(x):
-        # timestamps normalize to epoch microseconds so bounds are
-        # plain JSON ints; prune() normalizes its range the same way
-        if isinstance(x, datetime.datetime):
-            if x.tzinfo is None:
-                x = x.replace(tzinfo=datetime.timezone.utc)
-            return int(x.timestamp() * 1_000_000)
-        if isinstance(x, (int, float)) and not isinstance(x, bool):
-            return x
-        return None
-
+    _norm = _norm_bound
     md = pq.ParquetFile(abs_path).metadata
     lo: dict = {}
     hi: dict = {}
@@ -226,33 +246,29 @@ def scan(spark: SparkSession, path: str, version: int | None = None,
     time/id-range query touches. Files without recorded bounds for the
     column are kept (safe), and the equivalent row filter is applied on
     top, so results are exact regardless of pruning."""
-    snap = _read_snapshot(path, version or current_version(path))
+    if version is not None and version < 1:
+        raise ValueError(f"invalid snapshot version {version}")
+    snap = _read_snapshot(path, version if version is not None
+                          else current_version(path))
     data_files = snap["data_files"]
     stats = snap.get("file_stats", {})
     if prune:
-        import datetime
-
-        def _norm(x):
-            # mirror _file_stats: datetimes compare as epoch micros
-            if isinstance(x, datetime.datetime):
-                if x.tzinfo is None:
-                    x = x.replace(tzinfo=datetime.timezone.utc)
-                return int(x.timestamp() * 1_000_000)
-            return x
+        # naive datetime bounds are interpreted in the SESSION timezone
+        # so the file-bounds comparison agrees with how F.between reads
+        # the identical literal in the row filter below (a UTC-vs-
+        # session mismatch would silently prune files whose rows match)
+        tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
 
         def keep(f: str) -> bool:
             for col, (qlo, qhi) in prune.items():
                 b = stats.get(f, {}).get("bounds", {}).get(col)
-                if b is not None and (b[1] < _norm(qlo)
-                                      or b[0] > _norm(qhi)):
+                if b is not None and (b[1] < _norm_bound(qlo, tz)
+                                      or b[0] > _norm_bound(qhi, tz)):
                     return False
             return True
         data_files = [f for f in data_files if keep(f)]
     if not data_files:
-        import json as _json
-        from pyspark.sql.types import StructType
-        return spark.createDataFrame(
-            [], StructType.fromJson(_json.loads(snap["schema_json"])))
+        return _empty_df(spark, snap)
     df = spark.read.parquet(*_abs(path, data_files))
     if prune:
         for col, (qlo, qhi) in prune.items():
@@ -281,7 +297,11 @@ def incremental_scan(spark: SparkSession, path: str, from_version: int,
     file identity, exactly the condition real incremental consumers
     must restart from (Iceberg reports the same limitation for
     replace/rewrite snapshots)."""
-    to_version = to_version or current_version(path)
+    to_version = to_version if to_version is not None \
+        else current_version(path)
+    if to_version < from_version or from_version < 1:
+        raise ValueError(
+            f"invalid incremental range {from_version}->{to_version}")
     try:
         for v in range(from_version + 1, to_version + 1):
             op = _read_snapshot(path, v)["operation"]
@@ -298,10 +318,7 @@ def incremental_scan(spark: SparkSession, path: str, from_version: int,
     new_snap = _read_snapshot(path, to_version)
     delta = [f for f in new_snap["data_files"] if f not in old]
     if not delta:
-        import json as _json
-        from pyspark.sql.types import StructType
-        return spark.createDataFrame(
-            [], StructType.fromJson(_json.loads(new_snap["schema_json"])))
+        return _empty_df(spark, new_snap)
     df = spark.read.parquet(*_abs(path, delta))
     # standing equality deletes still mask rows (same read semantics
     # as scan(); delete files are tiny and broadcast)
@@ -344,6 +361,9 @@ def expire_snapshots(path: str, keep_last: int = 1) -> dict:
     incremental consumers baselined before the horizon must
     re-baseline. The current snapshot and the VERSION pointer are
     never touched, so readers are unaffected throughout."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (the current snapshot "
+                         "is never expirable)")
     cur = current_version(path)
     keep_from = max(1, cur - keep_last + 1)
     referenced: set = set()
@@ -379,24 +399,48 @@ def expire_snapshots(path: str, keep_last: int = 1) -> dict:
 
 # --------------------------------------------------- streaming sink
 
+def _streams_path(path: str) -> str:
+    return os.path.join(_meta_dir(path), "streams.json")
+
+
+def _read_streams(path: str) -> dict:
+    try:
+        with open(_streams_path(path), encoding="utf-8") as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return {}
+
+
 def idempotent_batch_appender(path: str, stream_id: str):
     """foreachBatch sink committing one append snapshot per micro-batch,
-    replay-safe: the snapshot summary records (stream_id, batch_id), and
-    a batch whose id was already committed by the SAME stream is
-    skipped — the idempotent-commit pattern the real Iceberg/Delta
-    streaming sinks use to turn foreachBatch's at-least-once delivery
-    into exactly-once table commits (a restart replays the last
-    unacknowledged batch; the data files it wrote before the crash are
-    orphans that no snapshot references, so readers never see them)."""
+    replay-safe: a compact sidecar (`metadata/streams.json`) records the
+    highest batch id each stream has committed, and a batch at or below
+    that watermark is skipped — the idempotent-commit pattern the real
+    Iceberg/Delta streaming sinks use to turn foreachBatch's
+    at-least-once delivery into exactly-once table commits. The
+    watermark survives expire_snapshots (which removes old snapshot
+    metadata) and costs O(1) to check per batch rather than a rescan of
+    the whole snapshot history; batch ids from a Structured Streaming
+    checkpoint are monotonically increasing, which is what makes a
+    high-water mark sufficient. The sidecar is updated AFTER the
+    snapshot commit, so a crash between the two replays the batch into
+    a torn (unreferenced) write that the next commit of that version
+    clears — never a duplicate append. The snapshot summary still
+    records (stream_id, batch_id) for lineage."""
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        done = {s["summary"].get("batch_id") for s in history(path)
-                if s["operation"] == "append"
-                and s["summary"].get("stream_id") == stream_id}
-        if int(batch_id) in done:
+        marks = _read_streams(path)
+        if stream_id in marks and int(batch_id) <= marks[stream_id]:
             return
         append(batch_df, path, summary_extra={
             "stream_id": stream_id, "batch_id": int(batch_id)})
+        marks = _read_streams(path)
+        marks[stream_id] = max(int(batch_id),
+                               marks.get(stream_id, -1))
+        tmp = _streams_path(path) + f".{uuid.uuid4().hex}"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(marks, fh)
+        os.replace(tmp, _streams_path(path))
 
     return commit_batch
 
@@ -406,16 +450,19 @@ def stream_append(spark: SparkSession, source_dir: str, path: str,
                   max_files_per_trigger: int = 1):
     """Drain a parquet directory into snapshot commits (one per
     micro-batch) with Trigger.AvailableNow. The stream identity for
-    replay detection is the checkpoint dir — a restart from the same
-    checkpoint skips replayed batches; a fresh checkpoint is a new
+    replay detection is the FULL checkpoint path (hashed) — a restart
+    from the same checkpoint skips replayed batches; a fresh checkpoint
+    anywhere else (even one sharing a directory basename) is a new
     stream and appends anew, matching sink semantics of Structured
     Streaming generally."""
+    import hashlib
+    stream_id = hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode()).hexdigest()[:16]
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", max_files_per_trigger)
               .parquet(source_dir))
     q = (stream.writeStream
-         .foreachBatch(idempotent_batch_appender(
-             path, os.path.basename(os.path.normpath(checkpoint_dir))))
+         .foreachBatch(idempotent_batch_appender(path, stream_id))
          .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True)
          .start())

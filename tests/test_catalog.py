@@ -186,9 +186,11 @@ def test_streaming_append_exactly_once(spark, docs_pdf, tmp_path):
     assert catalog.scan(spark, t).count() == 30
 
     # replay: calling the sink again with an already-committed batch id
-    # must be a no-op for this stream
-    sink = catalog.idempotent_batch_appender(
-        t, stream_id=os.path.basename(ck))
+    # must be a no-op for this stream (identity = hash of the full
+    # checkpoint path, exactly as stream_append derives it)
+    import hashlib
+    sid = hashlib.md5(os.path.abspath(ck).encode()).hexdigest()[:16]
+    sink = catalog.idempotent_batch_appender(t, stream_id=sid)
     sink(spark.createDataFrame(full.iloc[:10]), 1)
     assert catalog.current_version(t) == 1 + 3  # create + 3 appends
     # ...but a different stream id is a genuine new append
@@ -489,3 +491,51 @@ def test_ann_delta_consumes_embedding_table(spark, capsys, tmp_path):
          for d in range(8)]  # = vector 70
     top = ivf_topk_indexed(spark, idx, q, k=1, nprobe=4).collect()
     assert top and top[0]["vec_id"] == 70
+
+
+def test_torn_commit_orphan_does_not_wedge_writes(spark, tmp_path):
+    """A crash between data write and pointer flip leaves an orphan
+    snap-{v} dir; the next commit of that version must clear it and
+    succeed (regression: mode('error') used to throw path-exists
+    forever)."""
+    t = str(tmp_path / "torn")
+    mk = lambda ks: spark.createDataFrame(
+        [(f"k{k}", k) for k in ks], "url string, v long")
+    catalog.create_table(mk([1, 2]), t, key_col="url")
+    # simulate the torn write: v2 data exists, VERSION still 1
+    catalog._write_data_files(mk([99]), t, 2)
+    assert catalog.current_version(t) == 1
+    snap = catalog.append(mk([3, 4]), t)  # must not raise
+    assert snap["version"] == 2
+    got = sorted(r["url"] for r in catalog.scan(spark, t).collect())
+    assert got == ["k1", "k2", "k3", "k4"]  # orphan rows invisible
+
+
+def test_expire_guards_and_replay_watermark_survives(spark, tmp_path):
+    """keep_last < 1 raises instead of bricking the table, and the
+    streaming replay watermark survives snapshot expiry (regression:
+    dedup state used to be rebuilt from expired history)."""
+    t = str(tmp_path / "wm")
+    mk = lambda ks: spark.createDataFrame(
+        [(f"k{k}", k) for k in ks], "url string, v long")
+    catalog.create_table(mk([1]), t, key_col="url")
+    sink = catalog.idempotent_batch_appender(t, stream_id="s1")
+    sink(mk([2]), 0)
+    sink(mk([3]), 1)
+    with pytest.raises(ValueError, match="keep_last"):
+        catalog.expire_snapshots(t, keep_last=0)
+    catalog.expire_snapshots(t, keep_last=1)  # drops the append metas
+    sink(mk([99]), 1)  # replay after expiry: still a no-op
+    got = sorted(r["url"] for r in catalog.scan(spark, t).collect())
+    assert got == ["k1", "k2", "k3"]
+
+
+def test_scan_version_zero_raises(spark, tmp_path):
+    t = str(tmp_path / "v0")
+    catalog.create_table(
+        spark.createDataFrame([("a", 1)], "url string, v long"), t,
+        key_col="url")
+    with pytest.raises(ValueError, match="invalid"):
+        catalog.scan(spark, t, version=0)
+    with pytest.raises(ValueError, match="invalid"):
+        catalog.incremental_scan(spark, t, 0)
