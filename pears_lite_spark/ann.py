@@ -133,11 +133,17 @@ def train_ivf_centroids(emb_df: DataFrame, n_cells: int = 16,
                         seed: int = LSH_SEED,
                         id_col: str = "vec_id",
                         vec_col: str = "embedding") -> np.ndarray:
-    """Train the coarse quantizer on a deterministic sample (lowest
-    `n_train` ids — order-free and reproducible under any
-    partitioning)."""
-    rows = (emb_df.filter(F.col(id_col) < n_train)
-            .orderBy(id_col).select(vec_col).collect())
+    """Train the coarse quantizer on a deterministic sample: the lowest
+    `n_train` ids — order-free and reproducible under any partitioning.
+    Taken via orderBy+limit (TakeOrdered: per-partition top-n, no full
+    sort/shuffle) rather than `id < n_train`, so it works whether ids
+    are dense 0..n (same sample as the dense rule) or hashed xxhash64
+    doc_ids (lowest-n of a uniform hash IS a uniform sample — the dense
+    rule would select every negative hash there: ~half the corpus,
+    an unbounded driver collect)."""
+    rows = (emb_df.select(id_col, vec_col)
+            .orderBy(id_col).limit(n_train).collect())
+    rows = [(r[1],) for r in rows]
     X = np.asarray([list(map(float, r[0])) for r in rows], dtype=np.float64)
     return lloyd_kmeans(X, n_cells, iters, seed)
 
@@ -228,10 +234,12 @@ def train_pq_codebooks(emb_df: DataFrame, m: int = 16, ks: int = 16,
                        seed: int = LSH_SEED, id_col: str = "vec_id",
                        vec_col: str = "embedding") -> np.ndarray:
     """Per-subspace Lloyd codebooks trained on the deterministic
-    id-ordered sample (same bounded-sample policy as the IVF coarse
-    quantizer). Returns (m, ks, dim/m) float64."""
-    rows = (emb_df.filter(F.col(id_col) < n_train)
-            .orderBy(id_col).select(vec_col).collect())
+    lowest-`n_train`-ids sample (same orderBy+limit policy as the IVF
+    coarse quantizer — works for dense AND hashed id spaces). Returns
+    (m, ks, dim/m) float64."""
+    rows = (emb_df.select(id_col, vec_col)
+            .orderBy(id_col).limit(n_train).collect())
+    rows = [(r[1],) for r in rows]
     X = np.asarray([list(map(float, r[0])) for r in rows], dtype=np.float64)
     return pq_codebooks_from_sample(X, m, ks, iters, seed)
 

@@ -187,10 +187,27 @@ def create_table(df: DataFrame, path: str, key_col: str) -> dict:
     return snap
 
 
+def _check_schema(df: DataFrame, parent: dict, op: str) -> None:
+    """Reject commits whose DataFrame schema differs from the table's
+    recorded one (Iceberg validates appends against the table schema).
+    Without this, a mismatched append commits cleanly and later scans
+    read mixed-schema parquet, where Spark silently resolves to
+    whichever file's footer it samples — dropped columns / nulls
+    instead of an error at write time."""
+    recorded = parent.get("schema_json")
+    if recorded is not None and df.schema.json() != recorded:
+        raise ValueError(
+            f"{op}: DataFrame schema {df.schema.simpleString()} does not "
+            f"match table schema {parent['schema']} — align columns/types "
+            "(schema evolution is not supported by this catalog)")
+
+
 def append(df: DataFrame, path: str,
            summary_extra: dict | None = None) -> dict:
-    """New snapshot = parent's files + newly written ones (no rewrite)."""
+    """New snapshot = parent's files + newly written ones (no rewrite).
+    The incoming schema must match the table schema exactly."""
     parent = _read_snapshot(path, current_version(path))
+    _check_schema(df, parent, "append")
     v = parent["version"] + 1
     files = _write_data_files(df, path, v)
     summary = {"added_files": len(files)}
@@ -423,24 +440,41 @@ def idempotent_batch_appender(path: str, stream_id: str):
     the whole snapshot history; batch ids from a Structured Streaming
     checkpoint are monotonically increasing, which is what makes a
     high-water mark sufficient. The sidecar is updated AFTER the
-    snapshot commit, so a crash between the two replays the batch into
-    a torn (unreferenced) write that the next commit of that version
-    clears — never a duplicate append. The snapshot summary still
-    records (stream_id, batch_id) for lineage."""
+    snapshot commit, which leaves one crash window: the VERSION flip
+    succeeds but the process dies before the sidecar write, so the
+    replayed batch sees a stale watermark over a FULLY COMMITTED
+    snapshot. The sidecar check alone would re-append it. Closing the
+    window: with the documented single-writer assumption the sidecar
+    lags the snapshot log by at most one commit, so before appending we
+    also check the HEAD snapshot's summary for this (stream_id,
+    batch_id) — if the head already carries it, the append committed
+    and only the sidecar write was lost; we repair the sidecar and
+    skip. A crash BEFORE the flip replays into a torn (unreferenced)
+    write that the next commit of that version clears. The snapshot
+    summary records (stream_id, batch_id) for lineage either way."""
+
+    def _mark(batch_id: int) -> None:
+        marks = _read_streams(path)
+        marks[stream_id] = max(int(batch_id), marks.get(stream_id, -1))
+        tmp = _streams_path(path) + f".{uuid.uuid4().hex}"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(marks, fh)
+        os.replace(tmp, _streams_path(path))
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         marks = _read_streams(path)
         if stream_id in marks and int(batch_id) <= marks[stream_id]:
             return
+        head = _read_snapshot(path, current_version(path))
+        summ = head.get("summary", {})
+        if (summ.get("stream_id") == stream_id
+                and summ.get("batch_id") is not None
+                and int(summ["batch_id"]) >= int(batch_id)):
+            _mark(int(summ["batch_id"]))  # commit landed, sidecar didn't
+            return
         append(batch_df, path, summary_extra={
             "stream_id": stream_id, "batch_id": int(batch_id)})
-        marks = _read_streams(path)
-        marks[stream_id] = max(int(batch_id),
-                               marks.get(stream_id, -1))
-        tmp = _streams_path(path) + f".{uuid.uuid4().hex}"
-        with open(tmp, "w", encoding="utf-8") as fh:
-            json.dump(marks, fh)
-        os.replace(tmp, _streams_path(path))
+        _mark(int(batch_id))
 
     return commit_batch
 

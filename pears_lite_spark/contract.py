@@ -342,8 +342,8 @@ def q_jaccard_pairs(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    from .dedup import simhash32
-    return simhash32(_docs(spark, sf_dir))
+    from .dedup import simhash64
+    return simhash64(_docs(spark, sf_dir))
 
 
 def q_lang_id(spark, sf_dir):
@@ -927,12 +927,16 @@ def _fixture_table(spark, sf_dir, name: str, do_delete=True,
     merge-on-read delete (doc_id % 10 = 0) and a compaction. Rebuilt
     from scratch on every call so the query is deterministic whichever
     order the driver runs things in."""
+    import hashlib
     import os
     import shutil
     import tempfile
     from . import catalog
-    path = os.path.join(tempfile.gettempdir(),
-                        f"pears_tbl_{name}_{abs(hash(sf_dir)) % 10**8}")
+    # stable digest (NOT hash(): PYTHONHASHSEED-randomized per process)
+    # so repeated driver runs reuse the same /tmp path instead of
+    # leaking a fresh fixture directory each run
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"pears_tbl_{name}_{tag}")
     if os.path.exists(path):
         shutil.rmtree(path)
     docs = _docs(spark, sf_dir)
@@ -1000,12 +1004,13 @@ def q_table_ts_window(spark, sf_dir):
     the window filter pins the values against the SQL oracle — the
     warc_ts crawl-window query shape from the input hint."""
     import datetime as dt
+    import hashlib
     import os
     import shutil
     import tempfile
     from . import catalog
-    path = os.path.join(tempfile.gettempdir(),
-                        f"pears_tbl_ts_{abs(hash(sf_dir)) % 10**8}")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"pears_tbl_ts_{tag}")
     if os.path.exists(path):
         shutil.rmtree(path)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -1025,6 +1030,33 @@ def q_snippets(spark, sf_dir):
         "doc_id",
         F.coalesce(F.translate(F.substring("text", 1, 300), ",", "-"),
                    F.lit("")).alias("snippet"))
+
+
+def q_beautify(spark, sf_dir):
+    """P9: title/snippet beautification (`app/utils.py:285-309`) —
+    emoji doctype prefix on the title (beautify_title's five doctype
+    cases, doctype derived deterministically from doc_id so every
+    branch is exercised) and `<b>` query-word highlighting on the
+    snippet (beautify_snippet's replace(w) + replace(w.title()) loop,
+    same replacement order). Pure column algebra — two projections,
+    zero shuffle, zero UDF."""
+    docs = _docs(spark, sf_dir)
+    kinds = ["stat", "doc", "url", "ind", "map"]
+    prefixes = {"stat": "\U0001F4C8 STAT: ", "doc": "\U0001F4DD DOC: ",
+                "url": "\U0001F30F URL: ", "ind": "☺️  IND: ",
+                "map": "\U0001F4CD MAP: "}
+    doctype = F.element_at(F.array(*[F.lit(k) for k in kinds]),
+                           (F.col("doc_id") % 5 + 1).cast("int"))
+    prefix = F.element_at(F.array(*[F.lit(prefixes[k]) for k in kinds]),
+                          (F.col("doc_id") % 5 + 1).cast("int"))
+    title = F.concat(prefix, F.substring("text", 1, 40))
+    snip = F.substring("text", 1, 200)
+    for w in "data table".split():
+        snip = F.replace(snip, F.lit(w), F.lit(f"<b>{w}</b>"))
+        snip = F.replace(snip, F.lit(w.title()),
+                         F.lit(f"<b>{w.title()}</b>"))
+    return docs.select("doc_id", doctype.alias("doctype"),
+                       title.alias("title"), snip.alias("snippet"))
 
 
 def q_robots_gate(spark, sf_dir):
@@ -1499,96 +1531,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is deliberate: the driver's correctness gate
     evaluates the first 50 entries in dict order, and the order ROTATES
     each round (COVERAGE.md): queries whose last driver-green row is
-    oldest go first — round 4 leads with the 24 queries parked outside
-    round 3's window — then NEW queries (never driver-checked), then
-    queries touched by this round's code changes, then the headline
-    BM25 pair; the parked set past position 50 is the double-green core
-    plus any recently-green entries displaced by new queries (each
-    re-verified in the committed full local run)."""
+    oldest go first — round 5 leads with the 32 queries parked outside
+    round 4's window plus the 5 never-driver-checked table_* entries —
+    then NEW queries (beautify), then queries touched by this round's
+    code changes (64-bit SimHash, ANN trainer sampling, distributed
+    _slot_values, catalog schema validation), then the headline BM25
+    pair; the parked set past position 50 is the r04-driver-green core
+    (each re-verified in the committed full local run)."""
     return {
-        # -- round-4 window head: the 24 queries parked outside round
-        #    3's window (last driver-green in r02; re-verified in the
-        #    committed full local runs every round)
-        "events_sessions": q_events_sessions,
-        "bfs_reach": q_bfs_reach,
-        "doc_neighbours": q_doc_neighbours,
-        "pod_rank": q_pod_rank,
-        "wta_l2": q_wta_l2,
-        "combined_rank": q_combined_rank,
-        "query_vectors": q_query_vectors,
-        "dedup_insert": q_dedup_insert,
-        "delete_rebuild": q_delete_rebuild,
-        "pod_counts": q_pod_counts,
-        "top3_fallback": q_top3_fallback,
-        "query_parse": q_query_parse,
-        "url_overlap": q_url_overlap,
-        "expert_threshold": q_expert_threshold,
-        "pod_share_export": q_pod_share_export,
-        "snippets": q_snippets,
-        "robots_gate": q_robots_gate,
-        "local_docs_scan": q_local_docs_scan,
-        "bookmarks_scan": q_bookmarks_scan,
-        "pod_subscribe": q_pod_subscribe,
-        "url_list_scan": q_url_list_scan,
-        "csv_docs": q_csv_docs,
-        "canonical_urls": q_canonical_urls,
-        "web_fetch": q_web_fetch,
-        # -- round-3 head entries, kept in-window: several are touched
-        #    by round-4 changes (token_budget two-phase cumsum,
-        #    pagerank/dedup_clusters hot-key salting, codec rewrite
-        #    behind media_*_real / stego_pod_import)
-        "access_check": q_access_check,
-        "simhash_near_dups": q_simhash_near_dups,
-        "spm_tokens": q_spm_tokens,
-        "extract_parity": q_extract_parity,
-        "ann_lsh_top10": q_ann_lsh_top10,
-        # -- NEW round-4 operators (never driver-checked before, so they
-        #    must sit inside the 50-query window)
-        "gopher_rules": q_gopher_rules,
-        "normalize_text": q_normalize_text,
-        "domain_stats": q_domain_stats,
-        "decontaminate": q_decontaminate,
-        "line_dedup": q_line_dedup,
-        "anchor_text": q_anchor_text,
-        "classifier_score": q_classifier_score,
-        "pack_sequences": q_pack_sequences,
-        "phrase_c6_scores": q_phrase_c6_scores,
-        "ivf_pruned_top10": q_ivf_pruned_top10,
-        "lsh_pruned_top10": q_lsh_pruned_top10,
-        "media_features_real": q_media_features_real,
-        "media_resize_real": q_media_resize_real,
-        "stego_pod_import": q_stego_pod_import,
-        "unigram_loglik": q_unigram_loglik,
-        "ivf_pq_top10": q_ivf_pq_top10,
-        "pagerank": q_pagerank,
-        "dedup_clusters": q_dedup_clusters,
-        "token_budget": q_token_budget,
-        # -- headline BM25 queries: always fresh-green
-        "bm25_top10": q_bm25_top10,
-        "bm25_wand_top10": q_bm25_wand_top10,
-        # ---- driver window boundary (position 50) ----
-        # parked set: the r02+r03-double-green core, plus the four
-        # r03-green entries displaced by this round's NEW queries
-        # (media synthetic twins — their *_real siblings stay in-window
-        # and exercise strictly more of the same code — and min_window,
-        # untouched this round); all re-verified in the committed full
-        # local run (CORRECTNESS_LOCAL_r04.json)
+        # -- round-5 window head: the 32 queries whose last driver-green
+        #    row is r03 (parked outside round 4's window; re-verified in
+        #    the committed full local runs every round). Several are
+        #    ALSO touched by round-5 changes: simhash (64-bit widening),
+        #    ivf_top10 / embedding_top10 / knn_join (trainer orderBy+
+        #    limit sampling), minhash_sigs / embedding_near_dups (dedup
+        #    module siblings)
         "media_features": q_media_features,
         "frame_plan": q_frame_plan,
         "media_resize": q_media_resize,
         "min_window": q_min_window,
-        # displaced by the two late-round-4 queries: link_extract's
-        # regex+urljoin path is a strict subset of anchor_text's, and
-        # pdf_extract is untouched this round (both r03-green and
-        # re-verified in the committed full local run)
         "pdf_extract": q_pdf_extract,
         "link_extract": q_link_extract,
-        # displaced by classifier_score / pack_sequences: span_dedup
-        # (untouched this round; in-window line_dedup exercises the
-        # same explode->window->reassemble machinery) and
-        # sampled_corpus (untouched; in-window pack_sequences and
-        # token_budget cover the same hash-threshold + two-phase
-        # cumsum code paths)
         "span_dedup": q_span_dedup,
         "sampled_corpus": q_sampled_corpus,
         "tf_top_terms": q_tf_top_terms,
@@ -1615,14 +1578,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "pod_top_terms": q_pod_top_terms,
         "events_hourly": q_events_hourly,
-        # -- appended past the window (local-run evidence this round;
-        #    rotate into the driver window next round): snapshot-
-        #    catalog ops over the documents table
+        # -- never driver-checked before round 5 (appended past the r04
+        #    window): snapshot-catalog ops — also touched this round
+        #    (append schema validation, stable fixture paths)
         "table_scan_deletes": q_table_scan_deletes,
         "table_time_travel": q_table_time_travel,
         "table_compact_scan": q_table_compact_scan,
         "table_pruned_scan": q_table_pruned_scan,
         "table_ts_window": q_table_ts_window,
+        # -- NEW round-5 operator (P9 beautification, the last open
+        #    SURVEY row) — never driver-checked, must sit in-window
+        "beautify": q_beautify,
+        # -- touched by round-5 changes: 64-bit SimHash (fingerprint,
+        #    band rotation, clusters), ANN trainer sampling (IVF/PQ
+        #    paths + materialized index builds), distributed
+        #    _slot_values in the posting build (phrase_c6 + BM25 heads)
+        "simhash_near_dups": q_simhash_near_dups,
+        "dedup_clusters": q_dedup_clusters,
+        "ivf_pq_top10": q_ivf_pq_top10,
+        "ivf_pruned_top10": q_ivf_pruned_top10,
+        "lsh_pruned_top10": q_lsh_pruned_top10,
+        "phrase_c6_scores": q_phrase_c6_scores,
+        # -- per-row invariant keepers (north-rule byte-identity: S7
+        #    extraction, T1 tokenization) — kept fresh-green every round
+        "extract_parity": q_extract_parity,
+        "spm_tokens": q_spm_tokens,
+        # -- streaming/catalog adjacents re-verified alongside the
+        #    catalog changes
+        "events_sessions": q_events_sessions,
+        "delete_rebuild": q_delete_rebuild,
+        # -- headline BM25 queries: always fresh-green
+        "bm25_top10": q_bm25_top10,
+        "bm25_wand_top10": q_bm25_wand_top10,
+        # ---- driver window boundary (position 50) ----
+        # parked set: the r04-driver-green core, untouched by round-5
+        # code changes (media/stego codecs, gopher/normalize/domain/
+        # decontam textstats, sampling, pagerank, sources/pods, parity
+        # scoring); all re-verified in the committed full local run
+        # (CORRECTNESS_LOCAL_r05.json)
+        "bfs_reach": q_bfs_reach,
+        "doc_neighbours": q_doc_neighbours,
+        "pod_rank": q_pod_rank,
+        "wta_l2": q_wta_l2,
+        "combined_rank": q_combined_rank,
+        "query_vectors": q_query_vectors,
+        "dedup_insert": q_dedup_insert,
+        "pod_counts": q_pod_counts,
+        "top3_fallback": q_top3_fallback,
+        "query_parse": q_query_parse,
+        "url_overlap": q_url_overlap,
+        "expert_threshold": q_expert_threshold,
+        "pod_share_export": q_pod_share_export,
+        "snippets": q_snippets,
+        "robots_gate": q_robots_gate,
+        "local_docs_scan": q_local_docs_scan,
+        "bookmarks_scan": q_bookmarks_scan,
+        "pod_subscribe": q_pod_subscribe,
+        "url_list_scan": q_url_list_scan,
+        "csv_docs": q_csv_docs,
+        "canonical_urls": q_canonical_urls,
+        "web_fetch": q_web_fetch,
+        "access_check": q_access_check,
+        "ann_lsh_top10": q_ann_lsh_top10,
+        "gopher_rules": q_gopher_rules,
+        "normalize_text": q_normalize_text,
+        "domain_stats": q_domain_stats,
+        "decontaminate": q_decontaminate,
+        "line_dedup": q_line_dedup,
+        "anchor_text": q_anchor_text,
+        "classifier_score": q_classifier_score,
+        "pack_sequences": q_pack_sequences,
+        "media_features_real": q_media_features_real,
+        "media_resize_real": q_media_resize_real,
+        "stego_pod_import": q_stego_pod_import,
+        "unigram_loglik": q_unigram_loglik,
+        "pagerank": q_pagerank,
+        "token_budget": q_token_budget,
     }
 
 
@@ -1660,7 +1691,9 @@ def _ivf_oracle() -> str:
     vid = np.asarray(tbl["vec_id"])
     order = np.argsort(vid, kind="stable")
     X = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)[order]
-    sel = vid[order] < 2048
+    # lowest-2048-ids sample — the twin of ann.train_ivf_centroids'
+    # orderBy+limit rule (identical to vid<2048 on these dense tables)
+    sel = slice(0, 2048)
     C = lloyd_kmeans(X[sel], n_cells=16, iters=5)
     q = X[vid[order] == 0][0]
     d = -2.0 * (C @ q) + (C * C).sum(axis=1)
@@ -1706,7 +1739,7 @@ def _ivf_pq_oracle(nprobe: int = 4, refine: int = 100) -> str:
     vid = np.asarray(tbl["vec_id"])
     order = np.argsort(vid, kind="stable")
     X = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)[order]
-    sel = vid[order] < 2048
+    sel = slice(0, 2048)  # lowest-2048-ids twin (see _ivf_oracle)
     C = lloyd_kmeans(X[sel], n_cells=16, iters=5)
     books = pq_codebooks_from_sample(X[sel], m=16, ks=16)
     m, ks, dsub = books.shape
@@ -1815,11 +1848,18 @@ sc AS (SELECT doc_id, sum(part) AS score FROM parts GROUP BY doc_id)
 SELECT doc_id, round(score, 5) AS score_r FROM sc
 ORDER BY score DESC, doc_id LIMIT 10"""
 
+    # 64-bit fingerprint from two 32-bit md5 words (hv_lo/hv_hi); bit 63
+    # carries weight long-min (two's complement) and is added LAST so the
+    # running sum peaks at 2^63-1 and never overflows DuckDB's checked
+    # BIGINT addition (Spark's long wraps identically by construction)
     simhash_bits = " + ".join(
-        f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32))
+        f"(CASE WHEN s{i} > 0 THEN "
+        f"{(1 << i) if i < 63 else -(1 << 63)} ELSE 0 END)"
+        for i in range(64))
     simhash_sums = ", ".join(
-        f"sum(CASE WHEN (hv >> {i}) & 1 = 1 THEN c ELSE -c END) AS s{i}"
-        for i in range(32))
+        f"sum(CASE WHEN ({'hv_lo' if i < 32 else 'hv_hi'} >> {i % 32})"
+        f" & 1 = 1 THEN c ELSE -c END) AS s{i}"
+        for i in range(64))
 
     lang_hits = ", ".join(
         f"sum(CASE WHEN term IN ({_in_list(LANG_STOPWORDS[lg])}) THEN 1 ELSE 0 END)"
@@ -1934,7 +1974,8 @@ WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.3""",
 WITH tok AS ({_TOK_SQL}),
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
 h AS (SELECT doc_id, c,
-             ('0x' || substr(md5(term), 1, 8))::BIGINT AS hv FROM tf),
+             ('0x' || substr(md5(term), 1, 8))::BIGINT AS hv_lo,
+             ('0x' || substr(md5(term), 9, 8))::BIGINT AS hv_hi FROM tf),
 bits AS (SELECT doc_id, {simhash_sums} FROM h GROUP BY doc_id)
 SELECT doc_id, ({simhash_bits})::BIGINT AS simhash FROM bits""",
 
@@ -2443,6 +2484,17 @@ SELECT doc_id,
        coalesce(replace(substr(text, 1, 300), ',', '-'), '') AS snippet
 FROM documents""",
 
+        "beautify": """
+SELECT doc_id,
+  ['stat','doc','url','ind','map'][(doc_id % 5 + 1)::INT] AS doctype,
+  ['\U0001F4C8 STAT: ','\U0001F4DD DOC: ','\U0001F30F URL: ',
+   '☺️  IND: ','\U0001F4CD MAP: '][(doc_id % 5 + 1)::INT]
+    || substr(text, 1, 40) AS title,
+  replace(replace(replace(replace(substr(text, 1, 200),
+    'data', '<b>data</b>'), 'Data', '<b>Data</b>'),
+    'table', '<b>table</b>'), 'Table', '<b>Table</b>') AS snippet
+FROM documents""",
+
         "robots_gate": """
 WITH t(site, robots) AS (VALUES {vals}),
 l AS (SELECT site, unnest(string_split(robots, chr(10))) AS ln,
@@ -2567,15 +2619,16 @@ SELECT u.url FROM u JOIN allowed USING (site)""".format(
 WITH tok AS ({_TOK_SQL}),
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
 h AS (SELECT doc_id, c,
-             ('0x' || substr(md5(term), 1, 8))::BIGINT AS hv FROM tf),
+             ('0x' || substr(md5(term), 1, 8))::BIGINT AS hv_lo,
+             ('0x' || substr(md5(term), 9, 8))::BIGINT AS hv_hi FROM tf),
 bits AS (SELECT doc_id, {simhash_sums} FROM h GROUP BY doc_id),
 f AS (SELECT doc_id, ({simhash_bits})::BIGINT AS simhash FROM bits),
 p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM f a JOIN f b ON a.doc_id < b.doc_id AND (
-           ((a.simhash >> 0) & 255) = ((b.simhash >> 0) & 255)
-        OR ((a.simhash >> 8) & 255) = ((b.simhash >> 8) & 255)
-        OR ((a.simhash >> 16) & 255) = ((b.simhash >> 16) & 255)
-        OR ((a.simhash >> 24) & 255) = ((b.simhash >> 24) & 255)))
+           ((a.simhash >> 0) & 65535) = ((b.simhash >> 0) & 65535)
+        OR ((a.simhash >> 16) & 65535) = ((b.simhash >> 16) & 65535)
+        OR ((a.simhash >> 32) & 65535) = ((b.simhash >> 32) & 65535)
+        OR ((a.simhash >> 48) & 65535) = ((b.simhash >> 48) & 65535)))
 SELECT doc_a, doc_b,
        bit_count(xor(fa.simhash, fb.simhash))::BIGINT AS hamming
 FROM p JOIN f fa ON fa.doc_id = doc_a JOIN f fb ON fb.doc_id = doc_b
@@ -2585,15 +2638,16 @@ WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3""",
 WITH RECURSIVE tok AS ({_TOK_SQL}),
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
 h AS (SELECT doc_id, c,
-             ('0x' || substr(md5(term), 1, 8))::BIGINT AS hv FROM tf),
+             ('0x' || substr(md5(term), 1, 8))::BIGINT AS hv_lo,
+             ('0x' || substr(md5(term), 9, 8))::BIGINT AS hv_hi FROM tf),
 bits AS (SELECT doc_id, {simhash_sums} FROM h GROUP BY doc_id),
 f AS (SELECT doc_id, ({simhash_bits})::BIGINT AS simhash FROM bits),
 p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM f a JOIN f b ON a.doc_id < b.doc_id AND (
-           ((a.simhash >> 0) & 255) = ((b.simhash >> 0) & 255)
-        OR ((a.simhash >> 8) & 255) = ((b.simhash >> 8) & 255)
-        OR ((a.simhash >> 16) & 255) = ((b.simhash >> 16) & 255)
-        OR ((a.simhash >> 24) & 255) = ((b.simhash >> 24) & 255))),
+           ((a.simhash >> 0) & 65535) = ((b.simhash >> 0) & 65535)
+        OR ((a.simhash >> 16) & 65535) = ((b.simhash >> 16) & 65535)
+        OR ((a.simhash >> 32) & 65535) = ((b.simhash >> 32) & 65535)
+        OR ((a.simhash >> 48) & 65535) = ((b.simhash >> 48) & 65535))),
 np AS (SELECT doc_a, doc_b FROM p
        JOIN f fa ON fa.doc_id = doc_a JOIN f fb ON fb.doc_id = doc_b
        WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3),

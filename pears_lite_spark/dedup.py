@@ -216,26 +216,42 @@ def jaccard_pairs(docs_df: DataFrame, candidates: DataFrame | None = None,
             .filter(F.col("jaccard") >= threshold))
 
 
-def simhash32(docs_df: DataFrame, id_col: str = "doc_id",
+def simhash64(docs_df: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
-    """32-bit SimHash over whitespace tokens (tf-weighted): bit i of the
-    fingerprint = sign of sum over tokens of tf * (+1 if bit i of
-    md5-derived token hash else -1). (doc_id, simhash:int as long)."""
+    """64-bit SimHash over whitespace tokens (tf-weighted): bit i of the
+    fingerprint = sign of sum over tokens of tf * (+1 if bit i of the
+    md5-derived token hash else -1). (doc_id, simhash:long, two's
+    complement — bit 63 set makes the value negative).
+
+    64 bits (two 32-bit md5 words — md5 supplies 128) instead of 32 so
+    that band rotation at max_hamming=3 yields 16-bit band keys: with
+    8-bit keys (32-bit fingerprint, k=3) every band bucket holds ~n/256
+    docs at web scale and the bucket join degenerates toward all-pairs."""
     tok = docs_df.select(
         id_col, F.explode(F.filter(F.split(F.col(text_col), " "),
                                    lambda x: x != "")).alias("term"))
     tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    # token hash = first 32 bits of md5 as a long (conv gives unsigned)
-    h = F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
-    tf = tf.withColumn("h", h)
+    # token hash = two 32-bit md5 words as longs (conv gives unsigned);
+    # bit i of the 64-bit hash reads from h_lo (i<32) or h_hi (i>=32) —
+    # no combined 64-bit value is built, so no signed-overflow games
+    tf = (tf.withColumn("h_lo", F.conv(F.substring(F.md5("term"), 1, 8),
+                                       16, 10).cast("long"))
+            .withColumn("h_hi", F.conv(F.substring(F.md5("term"), 9, 8),
+                                       16, 10).cast("long")))
     aggs = []
-    for i in range(32):
-        bit = F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
+    for i in range(64):
+        word, off = ("h_lo", i) if i < 32 else ("h_hi", i - 32)
+        bit = F.when(
+            F.shiftright(F.col(word), off).bitwiseAND(1) == 1, 1).otherwise(-1)
         aggs.append(F.sum(bit * F.col("tf")).alias(f"s{i}"))
     sums = tf.groupBy(id_col).agg(*aggs)
     fp = None
-    for i in range(32):
-        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    for i in range(64):
+        # bit 63 is the sign bit: its weight is long-min (two's
+        # complement); bits 0..62 sum to at most 2^63-1 first, so the
+        # running total never overflows on either engine
+        weight = (1 << i) if i < 63 else -(1 << 63)
+        term = F.when(F.col(f"s{i}") > 0, F.lit(weight)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     return sums.select(id_col, fp.cast("long").alias("simhash"))
 
@@ -243,7 +259,7 @@ def simhash32(docs_df: DataFrame, id_col: str = "doc_id",
 def simhash_dup_groups(docs_df: DataFrame) -> DataFrame:
     """Docs sharing an identical SimHash fingerprint (Hamming distance
     0 bucket join). (simhash, n_docs, doc_ids)."""
-    return (simhash32(docs_df)
+    return (simhash64(docs_df)
             .groupBy("simhash")
             .agg(F.count("*").alias("n_docs"),
                  F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
@@ -257,20 +273,30 @@ def simhash_near_dup_pairs(docs_df: DataFrame,
     EXACTLY on at least one of k+1 disjoint bands): bucket-join per
     band on the band's bits — never the O(n^2) pair space — then exact
     popcount verify on the candidate pairs.
-    (doc_a, doc_b, hamming:int as long)."""
+    (doc_a, doc_b, hamming:int as long).
+
+    With the 64-bit fingerprint, max_hamming=3 gives 16-bit band keys
+    (~n/65536 docs per bucket) — the web-scale setting; max_hamming=7
+    still gives 8-bit keys, usable to ~1M docs."""
     if not 0 <= max_hamming <= 7:
-        # 8+ bands over 32 bits -> <=4-bit band keys -> the bucket join
+        # 8+ bands over 64 bits -> <=7-bit band keys -> the bucket join
         # degenerates toward all-pairs; use MinHash-LSH for looser
         # similarity instead
         raise ValueError("max_hamming must be in [0, 7]")
-    fp = simhash32(docs_df)
+    fp = simhash64(docs_df)
     bands = max_hamming + 1
-    width = 32 // bands
+    width = 64 // bands
     pairs = None
     for i in range(bands):
         lo = i * width
-        w = 32 - lo if i == bands - 1 else width
-        bits = F.shiftright(F.col("simhash"), lo).bitwiseAND((1 << w) - 1)
+        w = 64 - lo if i == bands - 1 else width
+        # arithmetic shift + mask reads bits [lo, lo+w) correctly even
+        # when the sign bit is set (the fill bits are masked away);
+        # a full-width band (max_hamming=0) is the fingerprint itself
+        if w == 64:
+            bits = F.col("simhash")
+        else:
+            bits = F.shiftright(F.col("simhash"), lo).bitwiseAND((1 << w) - 1)
         b = fp.select(F.col("doc_id"), bits.alias("bb"))
         p = (b.alias("x").join(b.alias("y"), "bb")
              .filter(F.col("x.doc_id") < F.col("y.doc_id"))
@@ -488,10 +514,9 @@ def dedup_clusters(docs_df: DataFrame, max_hamming: int = 3,
     pipeline (pairwise drop alone over- or under-deletes on transitive
     chains A~B~C).
 
-    Band-width note for scale: max_hamming=k means k+1 bands of 32/(k+1)
-    bits; at ~1M docs use max_hamming<=1 (16-bit band keys) so band
-    buckets stay small — 8-bit keys (k=3) degenerate toward all-pairs
-    there."""
+    Band-width note for scale: max_hamming=k means k+1 bands of 64/(k+1)
+    bits; the default k=3 gives 16-bit band keys, which keeps band
+    buckets small (~n/65536 docs each) out to web scale."""
     pairs = simhash_near_dup_pairs(docs_df, max_hamming=max_hamming)
     return connected_components(pairs, docs_df.select(id_col),
                                 id_col=id_col, stats_out=stats_out)

@@ -604,14 +604,18 @@ def _slot_values(spark: SparkSession, n: int) -> list[int]:
     key = n
     if key in _SLOT_CACHE:
         return _SLOT_CACHE[key]
+    # distributed preimage search: the min-id-per-slot aggregate runs
+    # executor-side and the driver collects exactly n rows — NOT the
+    # 64*n candidate rows (at a 100 TB build n reaches 10^5-10^6 and a
+    # 64*n collect would be a multi-hundred-MB driver transfer).
+    # min(id) per slot is precisely what the old sequential-scan
+    # setdefault picked, so the chosen preimages (and the index bytes
+    # downstream) are unchanged.
     rows = (spark.range(0, 64 * n)
             .select("id", F.pmod(F.hash("id"), F.lit(n)).alias("slot"))
+            .groupBy("slot").agg(F.min("id").alias("id"))
             .collect())
-    vals: dict[int, int] = {}
-    for r in rows:
-        vals.setdefault(int(r["slot"]), int(r["id"]))
-        if len(vals) == n:
-            break
+    vals = {int(r["slot"]): int(r["id"]) for r in rows}
     if len(vals) != n:
         raise RuntimeError(f"slot preimage search failed for n={n}")
     out = [vals[k] for k in range(n)]

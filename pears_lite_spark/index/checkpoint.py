@@ -249,7 +249,15 @@ def index_table_delta(spark: SparkSession, table_path: str,
     in, per-partition checkpointed segments out, resumable at the
     granularity of table versions. Stats follow the streaming model
     (frozen seed; `refresh_stats` + `compact --refresh-stats` correct
-    drift exactly)."""
+    drift exactly).
+
+    Deletes: an incremental index consumes APPENDS only — rows
+    equality-deleted from the table after being indexed keep being
+    served until the index is compacted against a fresh baseline. The
+    consumed range's delete-commit count is therefore surfaced in the
+    returned dict and the segment manifest (`n_delete_commits_in_range`)
+    so operators see when a takedown requires index compact +
+    re-baseline rather than discovering stale hits in production."""
     from .. import catalog
     from .build import with_doc_id
     cur = catalog.current_version(table_path)
@@ -264,6 +272,19 @@ def index_table_delta(spark: SparkSession, table_path: str,
         df = catalog.incremental_scan(spark, table_path, frm, cur)
     else:
         df = catalog.scan(spark, table_path)
+    # deletes committed in the consumed range do NOT shrink the index —
+    # count and surface them (see docstring) instead of advancing past
+    # them silently
+    n_deletes = sum(
+        1 for s in catalog.history(table_path)
+        if s.get("operation") == "delete"
+        and (frm is None or s["version"] > frm) and s["version"] <= cur)
+    if n_deletes:
+        import warnings
+        warnings.warn(
+            f"index_table_delta: {n_deletes} delete commit(s) in table "
+            f"version range ({frm}, {cur}] are NOT applied to the index "
+            "— compact + re-baseline to honor them", stacklevel=2)
     os.makedirs(index_path, exist_ok=True)
     if "doc_id" not in df.columns:
         df = with_doc_id(df)
@@ -295,6 +316,7 @@ def index_table_delta(spark: SparkSession, table_path: str,
             "table_version_to": cur,
             "n_docs": n_delta,
             "sum_dl": sum_dl,
+            "n_delete_commits_in_range": n_deletes,
             "files": sorted(f for f in os.listdir(part_dir)
                             if f.endswith(".parquet")),
         }
@@ -309,4 +331,5 @@ def index_table_delta(spark: SparkSession, table_path: str,
         json.dump({"table": table_path, "version": cur}, fh)
     os.replace(tmp, state_path)
     return {"from_version": frm, "to_version": cur,
-            "up_to_date": False, "n_docs_delta": n_delta}
+            "up_to_date": False, "n_docs_delta": n_delta,
+            "n_delete_commits_in_range": n_deletes}

@@ -198,6 +198,16 @@ def cmd_ann_index(args) -> int:
                 return 0
             emb = catalog.incremental_scan(spark, args.input, frm, cur)
         else:
+            if os.path.exists(os.path.join(args.output, ANN_META)):
+                # an index exists but carries no table-version state
+                # (e.g. first built with --mode build over raw parquet):
+                # a full-scan baseline here would append every vector a
+                # second time — refuse instead of silently duplicating
+                raise SystemExit(
+                    f"ann-index --mode delta: {args.output} already holds "
+                    "an ANN index but no _table_version.json baseline; "
+                    "rebuild with --mode build --input <snapshot-table> "
+                    "(which records the baseline) or remove the index")
             emb = catalog.scan(spark, args.input)
         n_delta = emb.count()
         if os.path.exists(os.path.join(args.output, ANN_META)):
@@ -217,13 +227,25 @@ def cmd_ann_index(args) -> int:
                "seconds": round(time.time() - t0, 2)})
         return 0
     if args.mode == "build":
+        from . import catalog
         emb = _read_corpus(spark, args.input)
         meta = write_ann_index(emb, args.output, n_cells=args.n_cells,
                                n_planes=args.n_planes,
                                n_tables=args.n_tables)
+        baselined = None
+        if catalog.is_table(args.input):
+            # record the consumed snapshot version so a later
+            # --mode delta run resumes from here instead of refusing
+            baselined = catalog.current_version(args.input)
+            state_p = os.path.join(args.output, "_table_version.json")
+            tmp = state_p + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump({"table": args.input, "version": baselined}, fh)
+            os.replace(tmp, state_p)
         _emit({"job": "ann-index", "mode": "build", "output": args.output,
                "n_cells": meta["n_cells"], "dim": meta["dim"],
                "n_tables": meta["n_tables"],
+               "baselined_table_version": baselined,
                "seconds": round(time.time() - t0, 2)})
     elif args.mode == "append":
         append_ann_index(_read_corpus(spark, args.input), args.output)

@@ -125,9 +125,24 @@ def snippet_overlap(docs_df: DataFrame, query: str,
 
 # ------------------------------------------- C5: jaccard / dice set ops
 
-def jaccard_dice(tokens_a: DataFrame, tokens_b: DataFrame) -> DataFrame:
+def jaccard_dice(tokens_a: DataFrame, tokens_b: DataFrame,
+                 max_side: int = 10_000) -> DataFrame:
     """Pairwise jaccard & dice of token SETS between two doc collections
-    (`overlap_calculation.py:12-20`). Expects (doc_id, tokens)."""
+    (`overlap_calculation.py:12-20`). Expects (doc_id, tokens).
+
+    PARITY SCOPE ONLY — this is an unguarded crossJoin matching the
+    reference's single-vector comparison; it must never serve
+    corpus-scale pair generation (use `dedup.jaccard_pairs`, the
+    df-capped shingle-join twin). Guarded: raises if either side
+    exceeds `max_side` rows so a misuse fails loudly instead of
+    launching an O(n*m) join."""
+    for name, side in (("tokens_a", tokens_a), ("tokens_b", tokens_b)):
+        n = side.limit(max_side + 1).count()
+        if n > max_side:
+            raise ValueError(
+                f"jaccard_dice: {name} has > {max_side} rows — this "
+                "crossJoin parity helper is not the corpus-scale path; "
+                "use dedup.jaccard_pairs instead")
     a = tokens_a.select(F.col("doc_id").alias("doc_a"),
                         F.array_distinct("tokens").alias("set_a"))
     b = tokens_b.select(F.col("doc_id").alias("doc_b"),
