@@ -539,3 +539,53 @@ def test_scan_version_zero_raises(spark, tmp_path):
         catalog.scan(spark, t, version=0)
     with pytest.raises(ValueError, match="invalid"):
         catalog.incremental_scan(spark, t, 0)
+
+
+def test_crash_between_commit_and_sidecar_does_not_duplicate(
+        spark, tmp_path):
+    """ADVICE r04: a crash AFTER the VERSION flip but BEFORE the sidecar
+    write leaves a fully committed snapshot under a stale watermark; the
+    replayed batch must find its (stream_id, batch_id) in the HEAD
+    snapshot's summary, repair the sidecar, and append nothing."""
+    t = str(tmp_path / "crash")
+    mk = lambda ks: spark.createDataFrame(
+        [(f"k{k}", k) for k in ks], "url string, v long")
+    catalog.create_table(mk([1]), t, key_col="url")
+    sink = catalog.idempotent_batch_appender(t, stream_id="s1")
+    sink(mk([2]), 0)
+    v_after = catalog.current_version(t)
+    # simulate the torn sidecar: batch 0's append committed but the
+    # watermark write was lost in the crash
+    sp = catalog._streams_path(t)
+    with open(sp) as fh:
+        marks = json.load(fh)
+    marks["s1"] = -1
+    with open(sp, "w") as fh:
+        json.dump(marks, fh)
+    sink(mk([99]), 0)  # replay of the committed batch
+    assert catalog.current_version(t) == v_after  # no duplicate append
+    with open(sp) as fh:
+        assert json.load(fh)["s1"] == 0  # sidecar repaired
+    got = sorted(r["url"] for r in catalog.scan(spark, t).collect())
+    assert got == ["k1", "k2"]
+    sink(mk([3]), 1)  # the NEXT batch is a genuine append
+    assert catalog.current_version(t) == v_after + 1
+
+
+def test_append_rejects_schema_mismatch(spark, tmp_path):
+    """ADVICE r04: a mismatched append must fail at write time instead
+    of committing mixed-schema parquet that scan() resolves silently."""
+    t = str(tmp_path / "schema")
+    catalog.create_table(
+        spark.createDataFrame([("a", 1)], "url string, v long"), t,
+        key_col="url")
+    bad = spark.createDataFrame([("x", "oops")], "url string, v string")
+    with pytest.raises(ValueError, match="schema"):
+        catalog.append(bad, t)
+    missing = spark.createDataFrame([("y",)], "url string")
+    with pytest.raises(ValueError, match="schema"):
+        catalog.append(missing, t)
+    # matching schema still appends
+    catalog.append(
+        spark.createDataFrame([("b", 2)], "url string, v long"), t)
+    assert catalog.scan(spark, t).count() == 2
