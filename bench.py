@@ -117,6 +117,39 @@ print(time.time() - t0)
 """
 
 
+_MEMBW_CODE = """
+import numpy as np, time
+a = np.ones(64_000_000)            # 512 MB of float64 — far beyond L3
+best = 1e9
+for _ in range(3):
+    t0 = time.time(); s = a.sum(); best = min(best, time.time() - t0)
+print(0.5 / best)                  # GB read per pass / best seconds
+"""
+
+
+def membw_gbps(n: int) -> dict:
+    """Absolute memory-READ bandwidth, single-proc and n-proc aggregate.
+    The ceiling probe's 16MB working set partially fits cache, so it
+    catches SCALING dirt but not a uniform aggregate-bandwidth
+    reduction — the round-5 A/B showed exactly that blind spot (clean
+    1.00 ceilings around build legs running 1.6x slow; r3 code and r5
+    code identical within noise). This probe streams 512MB/proc so a
+    shrunken bandwidth quota shows up as an absolute number."""
+    import subprocess
+
+    def per_proc(k: int) -> float:
+        procs = [subprocess.Popen([sys.executable, "-c", _MEMBW_CODE],
+                                  stdout=subprocess.PIPE, text=True)
+                 for _ in range(k)]
+        return statistics.mean(float(p.communicate()[0]) for p in procs)
+
+    single = per_proc(1)
+    per = per_proc(n)
+    return {"single_gbps": round(single, 2),
+            f"at{n}_per_proc_gbps": round(per, 2),
+            f"at{n}_aggregate_gbps": round(n * per, 2)}
+
+
 def hardware_ceiling(low: int, high: int) -> float:
     """Measured intrinsic process-scaling ceiling of THIS host for
     kernel-shaped numpy work (lexsort/gather/varint mix): run the same
@@ -281,12 +314,14 @@ def main():
         # visible in the recorded file, and normalize against the
         # CLEANER (higher) of the two — the conservative reading.
         ceil_pre = hardware_ceiling(low, high)
+        membw_pre = membw_gbps(high)
         t_los, t_his = [], []
         for r in range(reps):
             t_los.append(timed_build(low, cpath, f"low{low}_{r}")[0])
             t_his.append(timed_build(high, cpath, f"sc{high}_{r}")[0])
         t_lo, t_hi = min(t_los), min(t_his)
         ceil_post = hardware_ceiling(low, high)
+        membw_post = membw_gbps(high)
         queries_sec[f"index_build_{low}core"] = round(t_lo, 3)
         queries_sec[f"index_build_{high}core"] = round(t_hi, 3)
         thr_low = built_docs / t_lo
@@ -306,7 +341,8 @@ def main():
                    "hardware_ceiling": round(ceil_eff, 3),
                    "hardware_ceiling_pre": round(ceil_pre, 3),
                    "hardware_ceiling_post": round(ceil_post, 3),
-                   "efficiency_vs_ceiling": round(min(1.0, eff / ceil_eff), 3)}
+                   "efficiency_vs_ceiling": round(min(1.0, eff / ceil_eff), 3),
+                   "membw_pre": membw_pre, "membw_post": membw_post}
         log(f"scaling {low}->{high}: {thr_low:.0f} -> {thr_hi:.0f} docs/s, "
             f"eff={eff:.2f} (host ceiling pre/post "
             f"{ceil_pre:.2f}/{ceil_post:.2f} -> normalized "
