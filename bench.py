@@ -63,7 +63,22 @@ def build_index_job(spark, cpath: str, out_dir: str):
     return stats
 
 
-def _timed_build_inproc(cores: int, cpath: str, tag: str) -> tuple[float, int]:
+def _proc_stat() -> tuple[float, float]:
+    """(busy_sec, steal_sec) VM-wide from /proc/stat's cpu line — we
+    are the only tenant inside this VM, so the busy delta across a
+    timed leg is the leg's own CPU consumption and the steal delta is
+    hypervisor-level time taken FROM us."""
+    with open("/proc/stat") as fh:
+        f = fh.readline().split()
+    tck = os.sysconf("SC_CLK_TCK")
+    user, nice, system = int(f[1]), int(f[2]), int(f[3])
+    irq, softirq = int(f[6]), int(f[7])
+    steal = int(f[8]) if len(f) > 8 else 0
+    return (user + nice + system + irq + softirq) / tck, steal / tck
+
+
+def _timed_build_inproc(cores: int, cpath: str,
+                        tag: str) -> tuple[float, int, float, float]:
     spark = make_session(cores)
     try:
         # steady-state measurement: warm the JVM and EVERY Python worker
@@ -75,27 +90,34 @@ def _timed_build_inproc(cores: int, cpath: str, tag: str) -> tuple[float, int]:
         build_index_job(spark, "/tmp/pears_bench_warm_in",
                         f"/tmp/pears_bench_warm_{tag}")
         out = f"/tmp/pears_bench_idx_{tag}"
+        busy0, steal0 = _proc_stat()
         t0 = time.time()
         stats = build_index_job(spark, cpath, out)
         dt = time.time() - t0
-        return dt, stats.n_docs
+        busy1, steal1 = _proc_stat()
+        return dt, stats.n_docs, busy1 - busy0, steal1 - steal0
     finally:
         spark.stop()
 
 
-def timed_build(cores: int, cpath: str, tag: str) -> tuple[float, int]:
+def timed_build(cores: int, cpath: str,
+                tag: str) -> tuple[float, int, float, float]:
     """Run the timed build in a FRESH subprocess so each parallelism
-    level gets its own JVM (no GC/heap contamination between runs)."""
+    level gets its own JVM (no GC/heap contamination between runs).
+    Returns (wall_sec, n_docs, cpu_sec, steal_sec): the cpu/steal pair
+    decomposes a slow leg into per-core slowdown (cpu_sec inflation:
+    clocks / memory stalls / steal) vs idle cores (constant cpu_sec,
+    longer wall: scheduling or skew — the only ALGORITHMIC failure)."""
     import subprocess
     code = (f"import sys; sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r}); "
-            f"import bench; dt, n = bench._timed_build_inproc({cores}, {cpath!r}, {tag!r}); "
-            f"print('RESULT', dt, n)")
+            f"import bench; dt, n, cpu, steal = bench._timed_build_inproc({cores}, {cpath!r}, {tag!r}); "
+            f"print('RESULT', dt, n, cpu, steal)")
     proc = subprocess.run([sys.executable, "-c", code],
                           capture_output=True, text=True, timeout=3000)
     for line in proc.stdout.splitlines():
         if line.startswith("RESULT"):
-            _, dt, n = line.split()
-            return float(dt), int(n)
+            _, dt, n, cpu, steal = line.split()
+            return float(dt), int(n), float(cpu), float(steal)
     raise RuntimeError(f"timed_build subprocess failed: "
                        f"{proc.stdout[-500:]} {proc.stderr[-2000:]}")
 
@@ -288,9 +310,10 @@ def main():
     # best-of-N: single-JVM local mode shows 2-3x run-to-run variance
     # from VM CPU steal / boost state, so one sample is meaningless
     reps_hi = int(os.environ.get("PEARS_BENCH_REPEATS", "2"))
-    t_high, built_docs = min(
-        (timed_build(cpus, cpath, f"high{cpus}_{r}") for r in range(reps_hi)),
-        key=lambda t: t[0])
+    hi_runs = [timed_build(cpus, cpath, f"high{cpus}_{r}")
+               for r in range(reps_hi)]
+    t_high, built_docs, build_cpu, build_steal = min(
+        hi_runs, key=lambda t: t[0])
     queries_sec["index_build"] = round(t_high, 3)
     thr_high = built_docs / t_high
     log(f"build@{cpus}: {t_high:.1f}s = {thr_high:.0f} docs/s")
@@ -315,10 +338,12 @@ def main():
         # CLEANER (higher) of the two — the conservative reading.
         ceil_pre = hardware_ceiling(low, high)
         membw_pre = membw_gbps(high)
-        t_los, t_his = [], []
+        lo_runs, hi_runs2 = [], []
         for r in range(reps):
-            t_los.append(timed_build(low, cpath, f"low{low}_{r}")[0])
-            t_his.append(timed_build(high, cpath, f"sc{high}_{r}")[0])
+            lo_runs.append(timed_build(low, cpath, f"low{low}_{r}"))
+            hi_runs2.append(timed_build(high, cpath, f"sc{high}_{r}"))
+        t_los = [t[0] for t in lo_runs]
+        t_his = [t[0] for t in hi_runs2]
         t_lo, t_hi = min(t_los), min(t_his)
         ceil_post = hardware_ceiling(low, high)
         membw_post = membw_gbps(high)
@@ -342,7 +367,15 @@ def main():
                    "hardware_ceiling_pre": round(ceil_pre, 3),
                    "hardware_ceiling_post": round(ceil_post, 3),
                    "efficiency_vs_ceiling": round(min(1.0, eff / ceil_eff), 3),
-                   "membw_pre": membw_pre, "membw_post": membw_post}
+                   "membw_pre": membw_pre, "membw_post": membw_post,
+                   # VM-wide CPU + hypervisor-steal seconds per leg
+                   # (/proc/stat): constant cpu across levels + eff<1
+                   # means idle cores (algorithmic); inflated cpu or
+                   # steal means the host, not the plan
+                   "leg_cpu_low": [round(t[2], 1) for t in lo_runs],
+                   "leg_cpu_high": [round(t[2], 1) for t in hi_runs2],
+                   "leg_steal_low": [round(t[3], 1) for t in lo_runs],
+                   "leg_steal_high": [round(t[3], 1) for t in hi_runs2]}
         log(f"scaling {low}->{high}: {thr_low:.0f} -> {thr_hi:.0f} docs/s, "
             f"eff={eff:.2f} (host ceiling pre/post "
             f"{ceil_pre:.2f}/{ceil_post:.2f} -> normalized "
@@ -522,6 +555,8 @@ def main():
         "sf": float(sf),
         "bench_corpus_docs": built_docs,
         "index_docs_per_sec": round(thr_high, 1),
+        "index_build_cpu_sec": round(build_cpu, 1),
+        "index_build_steal_sec": round(build_steal, 1),
         "bm25_p50_ms": round(p50, 1),
         "bm25_concurrent_qps": round(conc_qps, 1),
         "bm25_qps_curve": qps_curve,
