@@ -309,7 +309,7 @@ def main():
     # ---- phase 1: index build at full parallelism (headline throughput)
     # best-of-N: single-JVM local mode shows 2-3x run-to-run variance
     # from VM CPU steal / boost state, so one sample is meaningless
-    reps_hi = int(os.environ.get("PEARS_BENCH_REPEATS", "2"))
+    reps_hi = int(os.environ.get("PEARS_BENCH_REPEATS", "3"))
     hi_runs = [timed_build(cpus, cpath, f"high{cpus}_{r}")
                for r in range(reps_hi)]
     t_high, built_docs, build_cpu, build_steal = min(
@@ -327,7 +327,7 @@ def main():
     if not os.environ.get("PEARS_BENCH_SKIP_SCALING"):
         low = int(os.environ.get("PEARS_SCALE_LOW", "2"))
         high = int(os.environ.get("PEARS_SCALE_HIGH", str(4 * low)))
-        reps = int(os.environ.get("PEARS_BENCH_REPEATS", "2"))
+        reps = int(os.environ.get("PEARS_BENCH_REPEATS", "3"))
         # Tenancy drift protocol: (a) ALTERNATE low/high legs so a
         # degraded-host burst hits both levels instead of silently
         # poisoning whichever level happened to run inside it (observed:
