@@ -149,6 +149,43 @@ print(0.5 / best)                  # GB read per pass / best seconds
 """
 
 
+_MEMLAT_CODE = """
+import numpy as np, time
+rng = np.random.default_rng(1)
+N = 8_000_000                      # 64 MB of int64 — DRAM-resident
+a = rng.permutation(N).astype(np.int64)
+idx = np.arange(N, dtype=np.int64)
+t0 = time.time()
+for _ in range(2):
+    idx = a[idx]                   # random gather sweep (latency-bound)
+print(time.time() - t0)
+"""
+
+
+def memlat(n: int) -> dict:
+    """Concurrent random-GATHER throughput — the build's actual memory
+    shape (lexsort/gather/varint), and the resource this host loses
+    under co-tenancy: measured 2026-08-18, per-proc gather time
+    inflated 7.5x from 1 to 16 procs while streaming bandwidth held
+    10.9 GB/s/proc and pure compute inflated only 1.10x. Steal reads 0
+    during it — the contention is outside the VM, on the memory
+    subsystem. Recorded per sample so a slow build leg is attributable
+    in-file."""
+    import subprocess
+
+    def per_proc(k: int) -> float:
+        procs = [subprocess.Popen([sys.executable, "-c", _MEMLAT_CODE],
+                                  stdout=subprocess.PIPE, text=True)
+                 for _ in range(k)]
+        return statistics.mean(float(p.communicate()[0]) for p in procs)
+
+    single = per_proc(1)
+    per = per_proc(n)
+    return {"single_sec": round(single, 2),
+            f"at{n}_per_proc_sec": round(per, 2),
+            f"at{n}_inflation": round(per / max(single, 1e-9), 2)}
+
+
 def membw_gbps(n: int) -> dict:
     """Absolute memory-READ bandwidth, single-proc and n-proc aggregate.
     The ceiling probe's 16MB working set partially fits cache, so it
@@ -338,6 +375,7 @@ def main():
         # CLEANER (higher) of the two — the conservative reading.
         ceil_pre = hardware_ceiling(low, high)
         membw_pre = membw_gbps(high)
+        memlat_pre = memlat(high)
         lo_runs, hi_runs2 = [], []
         for r in range(reps):
             lo_runs.append(timed_build(low, cpath, f"low{low}_{r}"))
@@ -347,6 +385,7 @@ def main():
         t_lo, t_hi = min(t_los), min(t_his)
         ceil_post = hardware_ceiling(low, high)
         membw_post = membw_gbps(high)
+        memlat_post = memlat(high)
         queries_sec[f"index_build_{low}core"] = round(t_lo, 3)
         queries_sec[f"index_build_{high}core"] = round(t_hi, 3)
         thr_low = built_docs / t_lo
@@ -368,6 +407,7 @@ def main():
                    "hardware_ceiling_post": round(ceil_post, 3),
                    "efficiency_vs_ceiling": round(min(1.0, eff / ceil_eff), 3),
                    "membw_pre": membw_pre, "membw_post": membw_post,
+                   "memlat_pre": memlat_pre, "memlat_post": memlat_post,
                    # VM-wide CPU + hypervisor-steal seconds per leg
                    # (/proc/stat): constant cpu across levels + eff<1
                    # means idle cores (algorithmic); inflated cpu or
