@@ -1,23 +1,23 @@
 #!/bin/bash
-# Ceiling-gated bench launcher (round-5 protocol, BASELINE.md).
-#
-# Polls the cheap hardware_ceiling(2, 8) probe (~40 s of kernel-shaped
-# numpy in 2 then 8 concurrent processes) every ~2.5 min and launches
-# ONE full bench.py run the moment the host's process-scaling ceiling
-# reads >= 0.70 — the clean-window precondition VERDICT r04 asked the
-# confirmation sample to carry. A busy-flag handshake (/tmp/pears_busy)
-# blocks the launch while foreground work (pytest, contract checks)
-# owns the CPUs, so no sample overlaps other load. One-shot by design:
-# results get reviewed before the next sample is armed.
+# Ceiling+gather-gated bench launcher (round-5 protocol, BASELINE.md).
+# Launches ONE full bench when (a) the process-scaling ceiling reads
+# >= 0.70 AND (b) concurrent random-gather inflation at 8 procs reads
+# <= 1.5 — the resource the build actually contends on (BASELINE.md
+# round-5 attribution). Busy-flag handshake as before.
 cd "$(dirname "$0")/.."
+[ -d pears_lite_spark ] || cd /root/repo
 for i in $(seq 1 200); do
   if [ -e /tmp/pears_busy ]; then
     sleep 60; continue
   fi
-  c=$(python -c "import sys; sys.path.insert(0,'.'); import bench; print(bench.hardware_ceiling(2,8))" 2>/dev/null)
+  read -r c m <<< $(python -c "
+import sys; sys.path.insert(0,'.'); import bench
+c = bench.hardware_ceiling(2,8)
+m = bench.memlat(8)['at8_inflation']
+print(c, m)" 2>/dev/null)
   ts=$(date +%H:%M:%S)
-  echo "$ts probe $i ceiling=$c" >> /tmp/window_watch.log
-  ok=$(python -c "print(1 if float('$c' or 0) >= 0.70 else 0)")
+  echo "$ts probe $i ceiling=$c gather_inflation=$m" >> /tmp/window_watch.log
+  ok=$(python -c "print(1 if float('${c:-0}') >= 0.70 and float('${m:-9}') <= 1.5 else 0)")
   if [ "$ok" = "1" ] && [ ! -e /tmp/pears_busy ]; then
     echo "$ts CLEAN WINDOW - launching full bench" >> /tmp/window_watch.log
     n=$(ls /tmp/bench_r5_s*.out 2>/dev/null | wc -l); n=$((n+1))
