@@ -368,6 +368,9 @@ def _regate(used: dict) -> float:
     waited = 0.0
     infl = memlat(8)["at8_inflation"]
     while infl > 1.5 and waited < per_leg and used["wait"] < total:
+        log(f"regate wait: gather inflation {infl:.2f} > 1.5 "
+            f"(leg budget {per_leg - waited:.0f}s, "
+            f"total budget {total - used['wait']:.0f}s left)")
         time.sleep(45)
         waited += 45
         used["wait"] += 45
