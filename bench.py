@@ -354,6 +354,23 @@ def wait_clean_window() -> dict:
             "window_gather_at_start": infl}
 
 
+def maybe_abort_dirty(infl: float, stage: str) -> None:
+    """Opt-in early abort (PEARS_BENCH_ABORT_DIRTY=1): when a gate wait
+    exhausted its budget with the gather probe still dirty, the sample
+    is already junk — every subsequent timed leg measures the co-tenant
+    burst, not the engine (sample r5_s3: launch gate read clean, the
+    burst arrived during the first regate, build@32 recorded 1331 d/s
+    vs the 6-14k clean band, then 35 more minutes of doomed legs ran
+    anyway). Under an unattended watcher it is strictly better to throw
+    the sample away after ~4 minutes and re-probe than to spend a
+    40-minute window budget producing a number nobody can use. Prints a
+    machine-readable one-liner (so the watcher can log WHY) and exits 3."""
+    if infl > 1.5 and os.environ.get("PEARS_BENCH_ABORT_DIRTY"):
+        print(json.dumps({"aborted": "dirty-window", "stage": stage,
+                          "gather_inflation": round(infl, 2)}))
+        sys.exit(3)
+
+
 def _regate(used: dict) -> float:
     """Between timed legs: if the gather probe reads dirty, wait for it
     to clear so the NEXT leg measures the engine, not a co-tenant burst.
@@ -389,6 +406,7 @@ def main():
     n_docs = int(os.environ.get("PEARS_BENCH_DOCS", max(20 * sf_docs, 10000)))
     cpath = corpus_path(n_docs)
     window = wait_clean_window()
+    maybe_abort_dirty(window["window_gather_at_start"], "launch")
 
     queries_sec: dict[str, float] = {}
 
@@ -400,6 +418,8 @@ def main():
     hi_runs, build_gather = [], []
     for r in range(reps_hi):
         build_gather.append(_regate(wait_used))
+        if r == 0:
+            maybe_abort_dirty(build_gather[0], "first-build-leg")
         hi_runs.append(timed_build(cpus, cpath, f"high{cpus}_{r}"))
     t_high, built_docs, build_cpu, build_steal = min(
         hi_runs, key=lambda t: t[0])
@@ -438,6 +458,8 @@ def main():
         t_los = [t[0] for t in lo_runs]
         t_his = [t[0] for t in hi_runs2]
         t_lo, t_hi = min(t_los), min(t_his)
+        cpu_lo = lo_runs[t_los.index(t_lo)][2]
+        cpu_hi = hi_runs2[t_his.index(t_hi)][2]
         ceil_post = hardware_ceiling(low, high)
         membw_post = membw_gbps(high)
         memlat_post = memlat(high)
@@ -457,6 +479,15 @@ def main():
                    "throughput_low": round(thr_low, 1),
                    "throughput_high": round(thr_hi, 1),
                    "efficiency": round(eff, 3),
+                   # raw efficiency x the winning legs' cpu-sec
+                   # inflation: identical work costing more cpu-sec at
+                   # higher concurrency is per-core memory contention
+                   # (host), not idle cores or skew (algorithm) — this
+                   # field reads the algorithmic residual alone. On a
+                   # real multi-executor cluster (separate memory buses)
+                   # the raw and normalized numbers converge.
+                   "efficiency_work_normalized": round(
+                       min(1.0, eff * cpu_hi / max(cpu_lo, 1e-9)), 3),
                    "hardware_ceiling": round(ceil_eff, 3),
                    "hardware_ceiling_pre": round(ceil_pre, 3),
                    "hardware_ceiling_post": round(ceil_post, 3),

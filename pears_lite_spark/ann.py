@@ -515,15 +515,46 @@ def lsh_topk_indexed(spark, path: str, query_vec: list[float],
 def pairwise_topk_join(emb_df: DataFrame, queries_df: DataFrame,
                        k: int = 10) -> DataFrame:
     """Batch k-NN: for every row of queries_df(qid, qvec) return its
-    top-k neighbors — broadcast the (small) query side, window rank.
-    The distributed form of the reference's neighbours op
-    (`/root/reference/app/indexer/neighbours.py:10-33`)."""
+    top-k neighbors. The distributed form of the reference's neighbours
+    op (`/root/reference/app/indexer/neighbours.py:10-33`).
+
+    Two-phase exact top-k (VERDICT r04 #7): a row_number window
+    partitioned by qid alone would shuffle the FULL n_docs x n_queries
+    cross product and sort each query's n_docs rows in ONE task — the
+    global-top-k-per-key bottleneck at corpus scale. Instead phase 1
+    reduces each input partition to its local top-k per qid inside an
+    Arrow kernel (zero shuffle — the query side is already broadcast,
+    scores are computed JVM-side before the kernel), so the final
+    window only ranks <= n_partitions * k rows per query. Tie-break
+    (cosine desc, vec_id asc) is applied identically in both phases,
+    so the result is bit-identical to the single-window form."""
     from pyspark.sql import Window
     qa = queries_df.select(F.col("qid"), _as_double(F.col("qvec")).alias("qv"))
     va = emb_df.select(F.col("vec_id"), _as_double(F.col("embedding")).alias("v"))
     cos = _dot("v", "qv") / (_norm("v") * _norm("qv"))
     scored = va.crossJoin(F.broadcast(qa)).select(
         "qid", "vec_id", cos.alias("cosine"))
+
+    def local_topk(batches):
+        import pandas as pd
+        acc: list = []
+        n_acc = 0
+        for b in batches:
+            acc.append(b)
+            n_acc += len(b)
+            if n_acc > 4_000_000:     # bound the partition working set
+                df = pd.concat(acc, ignore_index=True).sort_values(
+                    ["qid", "cosine", "vec_id"],
+                    ascending=[True, False, True])
+                acc = [df.groupby("qid", sort=False).head(k)]
+                n_acc = len(acc[0])
+        if not acc:
+            return
+        df = pd.concat(acc, ignore_index=True).sort_values(
+            ["qid", "cosine", "vec_id"], ascending=[True, False, True])
+        yield df.groupby("qid", sort=False).head(k)
+
+    survivors = scored.mapInPandas(local_topk, schema=scored.schema)
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (survivors.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))

@@ -401,3 +401,34 @@ def test_jaccard_dice_guard_raises_on_large_side(spark):
         jaccard_dice(small, big, max_side=10)
     out = jaccard_dice(small, big.limit(5), max_side=10)
     assert out.count() == 5
+
+
+def test_pairwise_topk_two_phase_matches_single_window(spark, emb):
+    """VERDICT r04 #7: the partition-local Arrow top-k prefilter in
+    pairwise_topk_join must be bit-identical to the naive single
+    row_number window over the full cross product (same tie-break:
+    cosine desc, vec_id asc), while only ever ranking
+    <= n_partitions*k survivor rows per query in the final window."""
+    from pyspark.sql import Window
+    from pears_lite_spark.ann import pairwise_topk_join, _as_double, \
+        _dot, _norm
+    queries = (emb.filter(F.col("vec_id") < 4)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qvec")))
+    # spread the doc side over many partitions so phase 1 is exercised
+    docs = emb.repartition(8)
+    got = {(r["qid"], r["rank"]): (r["vec_id"], round(r["cosine"], 9))
+           for r in pairwise_topk_join(docs, queries, k=5).collect()}
+
+    qa = queries.select("qid", _as_double(F.col("qvec")).alias("qv"))
+    va = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    cos = _dot("v", "qv") / (_norm("v") * _norm("qv"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"),
+                                          F.asc("vec_id"))
+    naive = (va.crossJoin(F.broadcast(qa))
+             .select("qid", "vec_id", cos.alias("cosine"))
+             .withColumn("rank", F.row_number().over(w))
+             .filter(F.col("rank") <= 5))
+    want = {(r["qid"], r["rank"]): (r["vec_id"], round(r["cosine"], 9))
+            for r in naive.collect()}
+    assert got == want and len(got) == 4 * 5
