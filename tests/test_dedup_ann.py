@@ -403,32 +403,50 @@ def test_jaccard_dice_guard_raises_on_large_side(spark):
     assert out.count() == 5
 
 
-def test_pairwise_topk_two_phase_matches_single_window(spark, emb):
-    """VERDICT r04 #7: the partition-local Arrow top-k prefilter in
-    pairwise_topk_join must be bit-identical to the naive single
-    row_number window over the full cross product (same tie-break:
-    cosine desc, vec_id asc), while only ever ranking
-    <= n_partitions*k survivor rows per query in the final window."""
-    from pyspark.sql import Window
-    from pears_lite_spark.ann import pairwise_topk_join, _as_double, \
-        _dot, _norm
+def test_pairwise_topk_partial_group_limit_plan_and_values(spark, emb):
+    """VERDICT r04 #7: the batch k-NN's rank<=k filter must compile to
+    a map-side WindowGroupLimit(Partial) BEFORE the qid exchange
+    (SPARK-37099 rank-limit pushdown) so the shuffle carries at most
+    n_partitions*k rows per query, never the full cross product — and
+    with no Python crossing anywhere in the plan. Values are checked
+    against an independent numpy top-k with the same
+    (cosine desc, vec_id asc) tie-break."""
+    import numpy as np
+    from pears_lite_spark.ann import pairwise_topk_join
     queries = (emb.filter(F.col("vec_id") < 4)
                .select(F.col("vec_id").alias("qid"),
                        F.col("embedding").alias("qvec")))
-    # spread the doc side over many partitions so phase 1 is exercised
+    # spread the doc side over many partitions so Partial is exercised
     docs = emb.repartition(8)
-    got = {(r["qid"], r["rank"]): (r["vec_id"], round(r["cosine"], 9))
-           for r in pairwise_topk_join(docs, queries, k=5).collect()}
+    out = pairwise_topk_join(docs, queries, k=5)
 
-    qa = queries.select("qid", _as_double(F.col("qvec")).alias("qv"))
-    va = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
-    cos = _dot("v", "qv") / (_norm("v") * _norm("qv"))
-    w = Window.partitionBy("qid").orderBy(F.desc("cosine"),
-                                          F.asc("vec_id"))
-    naive = (va.crossJoin(F.broadcast(qa))
-             .select("qid", "vec_id", cos.alias("cosine"))
-             .withColumn("rank", F.row_number().over(w))
-             .filter(F.col("rank") <= 5))
-    want = {(r["qid"], r["rank"]): (r["vec_id"], round(r["cosine"], 9))
-            for r in naive.collect()}
-    assert got == want and len(got) == 4 * 5
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    # toString prints top-down: everything before the qid exchange is
+    # reduce-side (Final); the Partial limit must sit below it (map-side)
+    cut = plan.find("Exchange hashpartitioning(qid")
+    assert cut > 0, plan
+    assert "Partial" not in plan[:cut] and "Final" in plan[:cut], plan
+    assert "Partial" in plan[cut:], plan
+
+    got = {(r["qid"], r["rank"]): (r["vec_id"], r["cosine"])
+           for r in out.collect()}
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(V, axis=1)
+    want = {}
+    for r in rows:
+        if r["vec_id"] >= 4:
+            continue
+        qv = np.asarray(r["embedding"], dtype=np.float64)
+        cosine = (V @ qv) / (norms * np.linalg.norm(qv))
+        order = np.lexsort((ids, -cosine))[:5]
+        for rank, i in enumerate(order, start=1):
+            want[(r["vec_id"], rank)] = (int(ids[i]), float(cosine[i]))
+    assert len(got) == 4 * 5 and got.keys() == want.keys()
+    for key, (vid, cos_np) in want.items():
+        gvid, gcos = got[key]
+        assert gvid == vid, (key, got[key], want[key])
+        assert abs(gcos - cos_np) < 1e-9, (key, gcos, cos_np)
