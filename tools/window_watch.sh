@@ -7,7 +7,10 @@
 cd "$(dirname "$0")/.."
 [ -d pears_lite_spark ] || cd /root/repo
 for i in $(seq 1 200); do
-  if [ -e /tmp/pears_busy ]; then
+  # never probe or launch while ANY bench is running — ours (busy flag)
+  # or one launched by the round driver (pgrep): a concurrent full bench
+  # would poison both samples
+  if [ -e /tmp/pears_busy ] || pgrep -f "python bench.py" >/dev/null 2>&1; then
     sleep 60; continue
   fi
   read -r c m <<< $(python -c "
@@ -18,7 +21,8 @@ print(c, m)" 2>/dev/null)
   ts=$(date +%H:%M:%S)
   echo "$ts probe $i ceiling=$c gather_inflation=$m" >> /tmp/window_watch.log
   ok=$(python -c "print(1 if float('${c:-0}') >= 0.70 and float('${m:-9}') <= 1.5 else 0)")
-  if [ "$ok" = "1" ] && [ ! -e /tmp/pears_busy ]; then
+  if [ "$ok" = "1" ] && [ ! -e /tmp/pears_busy ] && \
+     ! pgrep -f "python bench.py" >/dev/null 2>&1; then
     echo "$ts CLEAN WINDOW - launching full bench" >> /tmp/window_watch.log
     n=$(ls /tmp/bench_r5_s*.out 2>/dev/null | wc -l); n=$((n+1))
     touch /tmp/pears_busy
