@@ -180,10 +180,18 @@ def memlat(n: int) -> dict:
         return statistics.mean(float(p.communicate()[0]) for p in procs)
 
     single = per_proc(1)
+    # measure hypervisor steal across the n-proc leg for free: sample 9
+    # (BASELINE.md) showed a second degradation mode — plain CPU
+    # preemption with CLEAN gather readings — so the window gates need
+    # both signals and this probe is the only load the gate runs
+    busy0, steal0 = _proc_stat()
     per = per_proc(n)
+    busy1, steal1 = _proc_stat()
+    d_busy, d_steal = busy1 - busy0, steal1 - steal0
     return {"single_sec": round(single, 2),
             f"at{n}_per_proc_sec": round(per, 2),
-            f"at{n}_inflation": round(per / max(single, 1e-9), 2)}
+            f"at{n}_inflation": round(per / max(single, 1e-9), 2),
+            f"at{n}_steal_frac": round(d_steal / max(d_busy + d_steal, 1e-9), 3)}
 
 
 def membw_gbps(n: int) -> dict:
@@ -343,18 +351,35 @@ def wait_clean_window() -> dict:
     recorded in the result JSON so a sample that had to launch dirty
     says so in-file."""
     budget = float(os.environ.get("PEARS_BENCH_MAX_WAIT", "900"))
-    waited, infl = 0.0, memlat(8)["at8_inflation"]
-    while infl > 1.5 and waited < budget:
-        log(f"window wait: gather inflation {infl:.2f} > 1.5, "
+    # budget is WALL time including probe time: under contention the
+    # memlat probe itself runs 2-10x slow, and counting only the sleeps
+    # would balloon a "900 s" budget into hours on exactly the hosts
+    # that trigger the wait
+    t0 = time.time()
+    m = memlat(8)
+    waited = time.time() - t0
+    while _window_dirty(m) and waited < budget:
+        log(f"window wait: gather inflation {m['at8_inflation']:.2f} / "
+            f"steal {m['at8_steal_frac']:.2f} dirty, "
             f"{budget - waited:.0f}s of budget left")
         time.sleep(60)
-        waited += 60
-        infl = memlat(8)["at8_inflation"]
+        m = memlat(8)
+        waited = time.time() - t0
     return {"window_wait_sec": round(waited, 0),
-            "window_gather_at_start": infl}
+            "window_gather_at_start": m["at8_inflation"],
+            "window_steal_at_start": m["at8_steal_frac"]}
 
 
-def maybe_abort_dirty(infl: float, stage: str) -> None:
+def _window_dirty(m: dict) -> bool:
+    """Both host-degradation modes seen this round (BASELINE.md):
+    gather-latency inflation >1.5x (memory-subsystem co-tenant, steal
+    reads 0) OR hypervisor steal >10% during the probe's own 8-proc leg
+    (CPU preemption, gather reads clean — sample 9)."""
+    return m["at8_inflation"] > 1.5 or m["at8_steal_frac"] > 0.10
+
+
+def maybe_abort_dirty(infl: float, stage: str,
+                      steal_frac: float = 0.0) -> None:
     """Opt-in early abort (PEARS_BENCH_ABORT_DIRTY=1): when a gate wait
     exhausted its budget with the gather probe still dirty, the sample
     is already junk — every subsequent timed leg measures the co-tenant
@@ -365,9 +390,11 @@ def maybe_abort_dirty(infl: float, stage: str) -> None:
     the sample away after ~4 minutes and re-probe than to spend a
     40-minute window budget producing a number nobody can use. Prints a
     machine-readable one-liner (so the watcher can log WHY) and exits 3."""
-    if infl > 1.5 and os.environ.get("PEARS_BENCH_ABORT_DIRTY"):
+    if os.environ.get("PEARS_BENCH_ABORT_DIRTY") and (
+            infl > 1.5 or steal_frac > 0.10):
         print(json.dumps({"aborted": "dirty-window", "stage": stage,
-                          "gather_inflation": round(infl, 2)}))
+                          "gather_inflation": round(infl, 2),
+                          "steal_frac": round(steal_frac, 3)}))
         sys.exit(3)
 
 
@@ -382,17 +409,24 @@ def _regate(used: dict) -> float:
     recorded per leg, so a leg that had to start dirty says so."""
     per_leg = float(os.environ.get("PEARS_BENCH_LEG_WAIT", "240"))
     total = float(os.environ.get("PEARS_BENCH_TOTAL_WAIT", "2400"))
-    waited = 0.0
-    infl = memlat(8)["at8_inflation"]
-    while infl > 1.5 and waited < per_leg and used["wait"] < total:
-        log(f"regate wait: gather inflation {infl:.2f} > 1.5 "
+    # wall-clock budgets including probe time (see wait_clean_window)
+    t0 = time.time()
+    m = memlat(8)
+    last = time.time()
+    used["wait"] += last - t0
+    waited = last - t0
+    while _window_dirty(m) and waited < per_leg and used["wait"] < total:
+        log(f"regate wait: gather inflation {m['at8_inflation']:.2f} / "
+            f"steal {m['at8_steal_frac']:.2f} dirty "
             f"(leg budget {per_leg - waited:.0f}s, "
             f"total budget {total - used['wait']:.0f}s left)")
         time.sleep(45)
-        waited += 45
-        used["wait"] += 45
-        infl = memlat(8)["at8_inflation"]
-    return infl
+        m = memlat(8)
+        now = time.time()
+        used["wait"] += now - last
+        last = now
+        waited = now - t0
+    return m["at8_inflation"]
 
 
 def main():
@@ -406,7 +440,8 @@ def main():
     n_docs = int(os.environ.get("PEARS_BENCH_DOCS", max(20 * sf_docs, 10000)))
     cpath = corpus_path(n_docs)
     window = wait_clean_window()
-    maybe_abort_dirty(window["window_gather_at_start"], "launch")
+    maybe_abort_dirty(window["window_gather_at_start"], "launch",
+                      window["window_steal_at_start"])
 
     queries_sec: dict[str, float] = {}
 

@@ -13,14 +13,16 @@ for i in $(seq 1 200); do
   if [ -e /tmp/pears_busy ] || pgrep -f "python bench.py" >/dev/null 2>&1; then
     sleep 60; continue
   fi
-  read -r c m <<< $(python -c "
+  read -r c m s <<< $(python -c "
 import sys; sys.path.insert(0,'.'); import bench
 c = bench.hardware_ceiling(2,8)
-m = bench.memlat(8)['at8_inflation']
-print(c, m)" 2>/dev/null)
+ml = bench.memlat(8)
+print(c, ml['at8_inflation'], ml['at8_steal_frac'])" 2>/dev/null)
   ts=$(date +%H:%M:%S)
-  echo "$ts probe $i ceiling=$c gather_inflation=$m" >> /tmp/window_watch.log
-  ok=$(python -c "print(1 if float('${c:-0}') >= 0.70 and float('${m:-9}') <= 1.5 else 0)")
+  echo "$ts probe $i ceiling=$c gather_inflation=$m steal_frac=$s" >> /tmp/window_watch.log
+  # three-signal gate: scaling ceiling, gather inflation, AND steal
+  # (sample 9: steal-mode preemption evades the gather probe)
+  ok=$(python -c "print(1 if float('${c:-0}') >= 0.70 and float('${m:-9}') <= 1.5 and float('${s:-9}') <= 0.10 else 0)")
   if [ "$ok" = "1" ] && [ ! -e /tmp/pears_busy ] && \
      ! pgrep -f "python bench.py" >/dev/null 2>&1; then
     echo "$ts CLEAN WINDOW - launching full bench" >> /tmp/window_watch.log
