@@ -13,7 +13,9 @@ for i in $(seq 1 200); do
   if [ -e /tmp/pears_busy ] || pgrep -f "python bench.py" >/dev/null 2>&1; then
     sleep 60; continue
   fi
-  read -r c m s <<< $(python -c "
+  # a probe that cannot finish in 3 min IS a dirty window — time it
+  # out (empty read -> gate fails) instead of blocking the hunt
+  read -r c m s <<< $(timeout 180 python -c "
 import sys; sys.path.insert(0,'.'); import bench
 c = bench.hardware_ceiling(2,8)
 ml = bench.memlat(8)
