@@ -337,6 +337,14 @@ class _PartialBuilder:
         self.docs: list[np.ndarray] = []
         self.dls: list[np.ndarray] = []
         self.poss: list[np.ndarray] = []
+        # deferred-hash path: (doc_id, tokens, n0) tuples whose term
+        # hashing happens vectorized at flush (pd.factorize + hash of
+        # the flush's UNIQUE terms only) instead of one Python
+        # dict-lookup per token — the per-token map() loop measured
+        # ~65% of the non-extract phase-A cost. Holding the raw token
+        # lists until flush costs ~80 MB peak per worker at the 1M-row
+        # flush threshold.
+        self.pend: list[tuple[int, object, int]] = []
         self.acc = 0
 
     def tid_of(self, t: str) -> int:
@@ -366,22 +374,67 @@ class _PartialBuilder:
                               np.int64, len(kept))
             idxs = np.fromiter((i for i, _ in kept), np.int32, len(kept))
         else:
-            ids = np.fromiter(map(self.tid_of, toks), np.int64, n0)
-            idxs = np.arange(n0, dtype=np.int32)
-        self.add(doc_id, ids, idxs, n0)
+            self.pend.append((doc_id, toks, n0))
+            self.acc += n0
+
+    def _drain_pend(self) -> None:
+        """Materialize the deferred-hash docs: factorize the flush's
+        token stream in one C pass, xxh64 only the unique terms (dict
+        cache shared with tid_of), and gather. Produces the exact same
+        (tids, docs, dls, poss) arrays — in the same insertion order —
+        as per-token add_tokens, so index bytes are unchanged (the
+        byte-parity pytest pins this)."""
+        if not self.pend:
+            return
+        import itertools
+        flat = list(itertools.chain.from_iterable(
+            tk for _, tk, _ in self.pend))
+        codes, uniq = pd.factorize(np.asarray(flat, dtype=object),
+                                   use_na_sentinel=False)
+        del flat
+        cache, h = self._cache, self._hash
+        uh = np.empty(len(uniq), np.int64)
+        for i, tk in enumerate(uniq):
+            v = cache.get(tk)
+            if v is None:
+                v = h(tk)
+                if len(cache) < (1 << 22):
+                    cache[tk] = v
+            uh[i] = v
+        n0s = np.asarray([n for _, _, n in self.pend], np.int64)
+        self.tids.append(uh[codes])
+        self.docs.append(np.repeat(
+            np.asarray([d for d, _, _ in self.pend], np.int64), n0s))
+        self.dls.append(np.repeat(n0s.astype(np.int32), n0s))
+        if self.with_positions:
+            tot = int(n0s.sum())
+            starts = np.zeros(n0s.size, np.int64)
+            np.cumsum(n0s[:-1], out=starts[1:])
+            self.poss.append((np.arange(tot, dtype=np.int64)
+                              - np.repeat(starts, n0s)).astype(np.int32))
+        self.pend = []
 
     def flush(self) -> pd.DataFrame:
+        self._drain_pend()
         t = np.concatenate(self.tids)
         d = np.concatenate(self.docs)
         dl = np.concatenate(self.dls)
         pp = np.concatenate(self.poss) if self.with_positions else None
         self.tids, self.docs, self.dls, self.poss = [], [], [], []
         self.acc = 0
+        # Single-key STABLE sort instead of a (pos, doc, term) lexsort:
+        # docs stream in whole, so for equal terms the insertion order
+        # is already doc-contiguous with ascending positions — exactly
+        # what run collapse needs. Runs within a term leave here in
+        # insertion order rather than doc order; phase B re-lexsorts
+        # (d, t) over the concatenated slot anyway (it never assumes
+        # per-partial doc order), so the final index bytes are
+        # unchanged (byte-parity pytest). A 1-key radix argsort on the
+        # int64 hashes measured 2.5x faster than the 3-key lexsort at
+        # the 1M-row flush size.
+        order = np.argsort(t, kind="stable")
         if self.with_positions:
-            order = np.lexsort((pp, d, t))
             pp = pp[order]
-        else:
-            order = np.lexsort((d, t))
         t, d, dl = t[order], d[order], dl[order]
         n = t.size
         newr = np.empty(n, dtype=bool)
