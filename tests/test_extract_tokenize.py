@@ -129,3 +129,64 @@ def test_vocab_membership_unknowns():
     # a vocab-membership filter (reference posix.py:20-22 rule)
     unknown = [p for p in pieces if p not in v.piece_to_id]
     assert unknown
+
+
+def test_partial_builder_deferred_hash_matches_per_token():
+    """The vectorized flush path (pd.factorize + unique-term hashing,
+    _drain_pend) must produce the same RUN SET as a per-token
+    reference: same (slot, term_id, doc_id, tf, dl, positions) for
+    every run. Within-term run ORDER may differ (insertion vs doc
+    order) — phase B canonicalizes it with its own (doc, term)
+    lexsort, which test_build_from_corpus_matches_tokens_path and the
+    byte-parity resume tests pin end-to-end."""
+    import numpy as np
+
+    from pears_lite_spark.index.build import _PartialBuilder
+    from pears_lite_spark.xxh64 import xxh64_signed
+
+    docs = [
+        (xxh64_signed("u1"), ["a", "b", "a", "c", "a"]),
+        (xxh64_signed("u2"), ["b", "b", "d"]),
+        (xxh64_signed("u3"), ["e"]),
+        (xxh64_signed("u4"), ["a", "e", "a"]),
+    ]
+
+    def runs_of(frames):
+        out = {}
+        for f in frames:
+            for _, row in f.iterrows():
+                t = np.frombuffer(row["terms"], np.int64)
+                d = np.frombuffer(row["docs"], np.int64)
+                tf = np.frombuffer(row["tfs"], np.int32)
+                dl = np.frombuffer(row["dls"], np.int32)
+                pp = np.frombuffer(row["poss"], np.int32)
+                starts = np.zeros(tf.size, np.int64)
+                np.cumsum(tf[:-1], out=starts[1:])
+                for i in range(t.size):
+                    key = (row["p"], int(t[i]), int(d[i]))
+                    assert key not in out, "duplicate run in one flush"
+                    out[key] = (int(tf[i]), int(dl[i]),
+                                tuple(pp[starts[i]:starts[i] + tf[i]]))
+        return out
+
+    # deferred path (production): add_tokens -> pend -> flush
+    b_new = _PartialBuilder(50, list(range(4)), True)
+    for did, toks in docs:
+        b_new.add_tokens(did, toks, len(toks))
+    got = runs_of([b_new.flush()])
+
+    # per-token reference: hash each token eagerly through add()
+    b_ref = _PartialBuilder(50, list(range(4)), True)
+    for did, toks in docs:
+        ids = np.fromiter(map(b_ref.tid_of, toks), np.int64, len(toks))
+        b_ref.add(did, ids, np.arange(len(toks), dtype=np.int32),
+                  len(toks))
+    exp = runs_of([b_ref.flush()])
+
+    assert got == exp
+    # sanity: tf>1 runs kept their ascending in-doc positions
+    a_tid = xxh64_signed("a")
+    u1 = xxh64_signed("u1")
+    tf, dl, pos = next(v for (p, t, d), v in got.items()
+                       if t == a_tid and d == u1)
+    assert (tf, dl, pos) == (3, 5, (0, 2, 4))
