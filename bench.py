@@ -41,12 +41,21 @@ def make_session(cores: int, shuffle_partitions: int | None = None):
 
 
 def corpus_path(n_docs: int) -> str:
-    """Deterministic synthetic HTML corpus, generated once per size."""
+    """Deterministic synthetic HTML corpus, generated once per size.
+
+    Written as 64 evenly-sized files: with Spark's file-packing math
+    (bytesPerCore = (total + 4MB-openCost x n_files) / parallelism) the
+    scan then lands on EXACTLY 32/8/4/2 partitions at 32/8/4/2 cores —
+    one even wave per leg. The previous 2500-docs-per-file layout gave
+    40 splits, i.e. a 1.25-wave phase A at 32 cores: wave 2 ran 8
+    tasks while 24 slots idled, ~10% of the build wall. Same docs,
+    same bytes, same index — only the file boundaries move."""
     from pears_lite_spark.corpus import write_corpus_parquet
-    path = f"/tmp/pears_bench_corpus_{n_docs}.parquet"
+    path = f"/tmp/pears_bench_corpus_{n_docs}_f64.parquet"
     if not os.path.exists(path):
         t0 = time.time()
-        write_corpus_parquet(path, n_docs)
+        write_corpus_parquet(path, n_docs,
+                             docs_per_file=max(50, -(-n_docs // 64)))
         log(f"generated corpus n={n_docs} in {time.time()-t0:.1f}s")
     return path
 

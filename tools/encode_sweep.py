@@ -9,7 +9,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-CORPUS = "/tmp/pears_bench_corpus_100000.parquet"
+CORPUS = "/tmp/pears_bench_corpus_100000_f64.parquet"
 
 
 def one(cores: int, mem: str, batch: int):

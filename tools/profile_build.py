@@ -49,5 +49,5 @@ def main(cores: int, cpath: str):
 if __name__ == "__main__":
     cores = int(sys.argv[1])
     cpath = sys.argv[2] if len(sys.argv) > 2 else \
-        "/tmp/pears_bench_corpus_99000.parquet"
+        "/tmp/pears_bench_corpus_100000_f64.parquet"
     main(cores, cpath)
